@@ -1,0 +1,26 @@
+"""Test configuration: force a virtual 8-device CPU mesh.
+
+Tests never require real TPU hardware; multi-chip sharding is validated on a
+virtual CPU mesh (``--xla_force_host_platform_device_count=8``), mirroring the
+reference's "fake backend" affordances (mock denoiser inputs, forced compute
+fallback — /root/reference/src/DXRExperimentsApp.cpp:19-23).
+"""
+
+import os
+import sys
+
+# Import the package from the repo root without installation (no egress for
+# pip build isolation in this environment).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Must be set before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
