@@ -1,0 +1,206 @@
+"""Scene assembly: instances -> flattened device SoA + intersection precomputes.
+
+TPU-native replacement for ``RtScene``/``RtModel`` + BLAS/TLAS build
+(/root/reference/libs/DXRFramework/RtScene.cpp:18-52, RtModel.cpp:86-118).
+Where D3D12 builds opaque driver acceleration structures, we lower the scene
+to explicit arrays:
+
+  * world-space triangle SoA (v0/e1/e2 + per-vertex normals) padded to a
+    lane-aligned triangle count,
+  * precomputed Plücker-form Möller–Trumbore terms so the intersector is a
+    chain of [R,3]x[3,T] contractions (MXU/VPU-friendly; see ops/intersect.py),
+  * a stacked material table and per-triangle material ids (replacing
+    per-instance SBT hit records),
+  * lights + environment.
+
+Padding triangles are fully degenerate (all zeros) which self-mask in the
+intersector (det == 0 -> miss), the SoA analogue of inactive SBT entries.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from .lights import default_lights
+from .materials import Material, stack_materials
+from .mesh import Mesh
+from . import envmap as envmap_mod
+
+TRI_ALIGN = 128  # pad triangle count to the TPU lane width
+
+
+@dataclasses.dataclass
+class Instance:
+    """One placed model: mesh + 3x4/4x4 transform + optional material override.
+
+    Mirrors RtScene::Node (model + transform,
+    /root/reference/libs/DXRFramework/RtScene.h:17-32) with the per-instance
+    material assignment the pipelines do via SBT hit records
+    (/root/reference/src/ProgressiveRaytracingPipeline.cpp:220-226).
+    """
+
+    mesh: Mesh
+    transform: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.eye(4, dtype=np.float32)
+    )
+    material_override: int | None = None  # global material index for all faces
+
+
+class Scene:
+    """Host-side scene graph; ``build()`` lowers to the device pytree."""
+
+    def __init__(self):
+        self.instances: list[Instance] = []
+        self.materials: list[Material] = []
+        self.lights: dict | None = None
+        self.environment: dict | None = None
+
+    # -- assembly -------------------------------------------------------- #
+    def add_material(self, material: Material) -> int:
+        self.materials.append(material)
+        return len(self.materials) - 1
+
+    def add_model(
+        self,
+        mesh: Mesh,
+        transform: np.ndarray | None = None,
+        material: int | Material | None = None,
+    ) -> int:
+        """Add an instance. `material` may be a global material index or a
+        Material (auto-registered); None uses the mesh's own materials."""
+        t = np.eye(4, dtype=np.float32) if transform is None else np.asarray(
+            transform, np.float32
+        )
+        if t.shape == (3, 4):
+            t = np.concatenate([t, [[0, 0, 0, 1]]], axis=0).astype(np.float32)
+        override: int | None
+        if isinstance(material, Material):
+            override = self.add_material(material)
+        else:
+            override = material
+        self.instances.append(Instance(mesh, t, override))
+        return len(self.instances) - 1
+
+    @property
+    def num_instances(self) -> int:
+        return len(self.instances)
+
+    # -- lowering ---------------------------------------------------------- #
+    def build(self) -> dict[str, Any]:
+        """Flatten all instances into world space and precompute intersection
+        terms. Returns the SceneData pytree (all jnp arrays)."""
+        v0s, e1s, e2s = [], [], []
+        n0s, n1s, n2s = [], [], []
+        mat_ids = []
+        inst_ids = []
+        mat_offset_for_mesh: dict[int, int] = {}
+
+        materials = list(self.materials)
+
+        for inst_idx, inst in enumerate(self.instances):
+            mesh = inst.mesh
+            m = inst.transform
+            rot = m[:3, :3]
+            trans = m[:3, 3]
+            # normal matrix = inverse-transpose of rotation part
+            nrm_m = np.linalg.inv(rot).T if abs(np.linalg.det(rot)) > 1e-12 else rot
+
+            pos = mesh.positions @ rot.T + trans
+            nrm = mesh.normals @ nrm_m.T
+            nl = np.linalg.norm(nrm, axis=-1, keepdims=True)
+            nrm = nrm / np.where(nl > 1e-12, nl, 1.0)
+
+            tri = mesh.indices
+            p0, p1, p2 = pos[tri[:, 0]], pos[tri[:, 1]], pos[tri[:, 2]]
+            v0s.append(p0)
+            e1s.append(p1 - p0)
+            e2s.append(p2 - p0)
+            n0s.append(nrm[tri[:, 0]])
+            n1s.append(nrm[tri[:, 1]])
+            n2s.append(nrm[tri[:, 2]])
+
+            if inst.material_override is not None:
+                ids = np.full(len(tri), inst.material_override, np.int32)
+            elif mesh.materials:
+                key = id(mesh)
+                if key not in mat_offset_for_mesh:
+                    mat_offset_for_mesh[key] = len(materials)
+                    materials.extend(mesh.materials)
+                ids = mesh.material_ids + mat_offset_for_mesh[key]
+            else:
+                ids = np.zeros(len(tri), np.int32)
+            mat_ids.append(ids)
+            inst_ids.append(np.full(len(tri), inst_idx, np.int32))
+
+        if not materials:
+            materials = [Material()]
+
+        if v0s:
+            v0 = np.concatenate(v0s).astype(np.float32)
+            e1 = np.concatenate(e1s).astype(np.float32)
+            e2 = np.concatenate(e2s).astype(np.float32)
+            n0 = np.concatenate(n0s).astype(np.float32)
+            n1 = np.concatenate(n1s).astype(np.float32)
+            n2 = np.concatenate(n2s).astype(np.float32)
+            mid = np.concatenate(mat_ids).astype(np.int32)
+            iid = np.concatenate(inst_ids).astype(np.int32)
+        else:
+            v0 = e1 = e2 = n0 = n1 = n2 = np.zeros((0, 3), np.float32)
+            mid = iid = np.zeros((0,), np.int32)
+
+        num_tris = len(v0)
+        padded = max(TRI_ALIGN, -(-num_tris // TRI_ALIGN) * TRI_ALIGN)
+
+        def pad3(a):
+            out = np.zeros((padded, 3), np.float32)
+            out[: len(a)] = a
+            return out
+
+        def pad1(a, fill=0):
+            out = np.full((padded,), fill, a.dtype if len(a) else np.int32)
+            out[: len(a)] = a
+            return out
+
+        v0, e1, e2 = pad3(v0), pad3(e1), pad3(e2)
+        n0, n1, n2 = pad3(n0), pad3(n1), pad3(n2)
+        mid, iid = pad1(mid), pad1(iid)
+
+        # Plücker / scalar-triple-product precomputes (see ops/intersect.py):
+        #   det = -(D . pn)            pn = e1 x e2  (unnormalized face normal)
+        #   u*det =  M . e2 + D . c1   M  = O x D,  c1 = v0 x e2
+        #   v*det = -M . e1 - D . c2   c2 = v0 x e1
+        #   t*det =  O . pn - d0       d0 = v0 . pn
+        pn = np.cross(e1, e2)
+        c1 = np.cross(v0, e2)
+        c2 = np.cross(v0, e1)
+        d0 = np.sum(v0 * pn, axis=-1)
+
+        lights = self.lights if self.lights is not None else default_lights()
+        env = (
+            self.environment
+            if self.environment is not None
+            else envmap_mod.constant_env((0.0, 0.0, 0.0))
+        )
+
+        return {
+            "v0": jnp.asarray(v0),
+            "e1": jnp.asarray(e1),
+            "e2": jnp.asarray(e2),
+            "n0": jnp.asarray(n0),
+            "n1": jnp.asarray(n1),
+            "n2": jnp.asarray(n2),
+            "pn": jnp.asarray(pn.astype(np.float32)),
+            "c1": jnp.asarray(c1.astype(np.float32)),
+            "c2": jnp.asarray(c2.astype(np.float32)),
+            "d0": jnp.asarray(d0.astype(np.float32)),
+            "mat_id": jnp.asarray(mid),
+            "inst_id": jnp.asarray(iid),
+            "num_tris": jnp.asarray(num_tris, jnp.int32),
+            "materials": stack_materials(materials),
+            "lights": lights,
+            "env": env,
+        }

@@ -1,0 +1,366 @@
+"""Wavefront integrator: the TPU re-expression of the reference's device code.
+
+Replaces the DXR shader stack — RayGen/ClosestHit/Miss/shadow shaders plus
+``TraceRay`` recursion (/root/reference/assets/shaders/ProgressiveRaytracing.hlsl,
+RealtimeRaytracing.hlsl, RaytracingCommon.hlsli) — with a statically-unrolled
+trace tree inside one jitted function. The reference's recursion is bounded
+(MAX_RADIANCE_RAY_DEPTH=1, MAX_SHADOW_RAY_DEPTH=2,
+RaytracingCommon.hlsli:11-12), so the whole per-sample ray tree is fixed:
+
+    primary closest-hit
+      +- directional-light shadow ray      (any-hit)
+      +- point-light shadow ray            (any-hit)
+      +- indirect-diffuse secondary ray    (closest, progressive only)
+      |    +- 2 shadow rays at depth 1
+      +- Phong-lobe specular secondary ray (closest)
+           +- 2 shadow rays at depth 1
+
+i.e. 3 closest + 6 any-hit traces per progressive sample (2+4 realtime) over
+dense [N]-ray batches — no dynamic control flow, no compaction needed at this
+depth, everything fuses under jit.
+
+RNG parity: each shade invocation re-seeds from the pixel hash exactly like
+the HLSL (shade() calls initRand every invocation —
+ProgressiveRaytracing.hlsl:87-89 — so depth-1 draws alias depth-0 draws; we
+reproduce that faithfully), and seeds advance conditionally where the HLSL
+consumes draws inside branches (debug==2 light picking, noIndirectDiffuse).
+
+Material/AOV debug selection is traced (cheap selects); ambient-occlusion-only
+mode is a static variant (it changes the ray tree), the analogue of compiling
+a different RTPSO.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng
+from ..core import vecmath as vm
+from ..ops import intersect
+from ..scene.envmap import sample_environment
+from . import sampling
+
+RAY_EPSILON = intersect.RAY_EPSILON
+RAY_MAX_T = intersect.RAY_MAX_T
+M_PI = jnp.pi
+
+
+# --------------------------------------------------------------------------- #
+# Per-frame options (traced) — parity with DebugOptions
+# (/root/reference/assets/shaders/RaytracingHlslCompat.h:64-77). Defaults match
+# the pipeline ctor (/root/reference/src/ProgressiveRaytracingPipeline.cpp:74-84).
+# --------------------------------------------------------------------------- #
+def default_options(**overrides) -> dict:
+    opts = {
+        "max_iterations": jnp.asarray(1024, jnp.int32),
+        "cosine_hemisphere_sampling": jnp.asarray(True),
+        "show_indirect_diffuse_only": jnp.asarray(False),
+        "show_indirect_specular_only": jnp.asarray(False),
+        "show_gbuffer_albedo_only": jnp.asarray(False),
+        "show_direct_lighting_only": jnp.asarray(False),
+        "show_fresnel_term": jnp.asarray(False),
+        "no_indirect_diffuse": jnp.asarray(False),
+        "debug": jnp.asarray(0, jnp.int32),
+    }
+    for k, v in overrides.items():
+        opts[k] = jnp.asarray(v, opts[k].dtype) if k in opts else jnp.asarray(v)
+    return opts
+
+
+def _gather_material(materials: dict, mat_id: jnp.ndarray) -> dict:
+    return {k: v[mat_id] for k, v in materials.items()}
+
+
+def _interpolate_hit(scene: dict, hits: dict, origins, directions):
+    """Barycentric position/normal + material fetch — the TPU analogue of
+    interpolateVertexAttributes + HitWorldPosition
+    (RaytracingCommon.hlsli:53-82, RaytracingUtils.hlsli:209-212)."""
+    tri = jnp.maximum(hits["tri"], 0)
+    u, v = hits["u"], hits["v"]
+    w = 1.0 - u - v
+    n = (
+        w[..., None] * scene["n0"][tri]
+        + u[..., None] * scene["n1"][tri]
+        + v[..., None] * scene["n2"][tri]
+    )
+    normal = vm.normalize(n)
+    position = origins + hits["t"][..., None] * directions
+    mat = _gather_material(scene["materials"], scene["mat_id"][tri])
+    return position, normal, mat
+
+
+# --------------------------------------------------------------------------- #
+# Lights (RaytracingCommon.hlsli:126-147)
+# --------------------------------------------------------------------------- #
+def _eval_directional_light(scene, position, normal, active):
+    light = scene["lights"]["dir"]
+    l_dir = vm.normalize(-light["forward"])
+    l_dir_b = jnp.broadcast_to(l_dir, position.shape)
+    nol = vm.saturate(vm.dot(normal, l_dir_b))
+    occluded = intersect.intersect_any(
+        scene, position, l_dir_b, RAY_EPSILON, RAY_MAX_T
+    )
+    visible = jnp.where(active & ~occluded, 1.0, 0.0)
+    return light["color"] * light["intensity"] * (nol * visible)[..., None]
+
+
+def _eval_point_light(scene, position, normal, active):
+    light = scene["lights"]["point"]
+    path = light["position"] - position
+    dist = vm.length(path)
+    l_dir = vm.normalize(path)
+    nol = vm.saturate(vm.dot(normal, l_dir))
+    occluded = intersect.intersect_any(
+        scene, position, l_dir, RAY_EPSILON, jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
+    )
+    visible = jnp.where(active & ~occluded, 1.0, 0.0)
+    falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
+    return light["color"] * light["intensity"] * (nol * visible * falloff)[..., None]
+
+
+def _direct_lighting(scene, options, position, normal, seed, active):
+    """Direct term with the debug==2 one-of-two-lights MC estimator
+    (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3])."""
+    seed_mc, pick = rng.next_rand(seed)
+    is_mc = options["debug"] == 2
+    # HLSL consumes the picking draw only when debug==2.
+    seed_out = jnp.where(is_mc, seed_mc, seed)
+    d_contrib = _eval_directional_light(scene, position, normal, active)
+    p_contrib = _eval_point_light(scene, position, normal, active)
+    full = d_contrib + p_contrib
+    mc = jnp.where((pick < 0.5)[..., None], d_contrib * 2.0, p_contrib * 2.0)
+    return seed_out, jnp.where(is_mc, mc, full)
+
+
+def _ambient_occlusion(scene, options, position, normal, seed, active):
+    """4-ray AO (evaluateAO, RaytracingCommon.hlsli:98-124)."""
+    visibility = jnp.zeros(position.shape[:-1], jnp.float32)
+    cosine = options["cosine_hemisphere_sampling"]
+    for _ in range(4):
+        seed, r0, r1 = rng.next_rand2(seed)
+        # Rebuild both sampler outputs from the same draws, select traced.
+        tangent, bitangent = vm.orthonormal_basis(normal)
+        r = jnp.sqrt(r0)
+        phi = 2.0 * M_PI * r1
+        cos_dir = (
+            (r * jnp.cos(phi))[..., None] * tangent
+            + jnp.sqrt(jnp.maximum(1.0 - r0, 0.0))[..., None] * normal
+            + (r * jnp.sin(phi))[..., None] * bitangent
+        )
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - r0 * r0, 0.0))
+        uni_dir = (
+            (sin_t * jnp.cos(phi))[..., None] * tangent
+            + r0[..., None] * normal
+            + (sin_t * jnp.sin(phi))[..., None] * bitangent
+        )
+        sample_dir = jnp.where(cosine, cos_dir, uni_dir)
+        nol = vm.saturate(vm.dot(normal, sample_dir))
+        pdf = jnp.where(cosine, nol / M_PI, 1.0 / (2.0 * M_PI))
+        occluded = intersect.intersect_any(
+            scene, position, sample_dir, RAY_EPSILON, 10.0
+        )
+        vis = jnp.where(active & ~occluded, 1.0, 0.0)
+        visibility += vis * nol / jnp.maximum(pdf, 1e-8)
+    return visibility / 4.0
+
+
+# --------------------------------------------------------------------------- #
+# Depth-1 (secondary) radiance: direct lighting + emissive only — specular
+# and indirect cut off by MAX_RADIANCE_RAY_DEPTH
+# (ProgressiveRaytracing.hlsl:41-55 via shade() at depth 1).
+# --------------------------------------------------------------------------- #
+def _secondary_radiance(scene, options, origins, directions, seeds, active, mode: str):
+    hits = intersect.intersect_closest(
+        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull_backface=False
+    )
+    hit = hits["hit"] & active
+    env_col = sample_environment(scene["env"], directions)
+    position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
+
+    seed = seeds  # shade() re-seeds identically per invocation
+    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit)
+
+    if mode == "progressive":
+        # emissive + albedo * direct / pi  (ProgressiveRaytracing.hlsl:112,147)
+        shade_col = (
+            mat["emissive"] * mat["emissive_strength"][..., None]
+            + mat["albedo"] * direct / M_PI
+        )
+    else:
+        # realtime: albedo * direct / pi (RealtimeRaytracing.hlsl:102)
+        shade_col = mat["albedo"] * direct / M_PI
+
+    return jnp.where(hit[..., None], shade_col, jnp.where(active[..., None], env_col, 0.0))
+
+
+# --------------------------------------------------------------------------- #
+# Primary shade (depth 0)
+# --------------------------------------------------------------------------- #
+def trace_rays(
+    scene: dict,
+    options: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    seeds: jnp.ndarray,
+    mode: str = "progressive",
+    ao_only: bool = False,
+) -> dict:
+    """Trace one sample for a dense batch of primary rays.
+
+    origins/directions: [N, 3]; seeds: [N] uint32 (pixel hash for this frame).
+    mode: 'progressive' (ProgressiveRaytracing.hlsl) or 'realtime'
+    (RealtimeRaytracing.hlsl). ao_only statically switches to the AO view
+    (showAmbientOcclusionOnly, ProgressiveRaytracing.hlsl:82-84).
+
+    Returns {"color" [N,3]} plus, for realtime mode, "direct" and
+    "indirect_specular" AOVs (the two UAV outputs,
+    RealtimeRaytracing.hlsl:44-45).
+    """
+    # Primary rays cull backfaces (ProgressiveRaytracing.hlsl:34).
+    hits = intersect.intersect_closest(
+        scene, origins, directions, 0.0, RAY_MAX_T, cull_backface=True
+    )
+    hit = hits["hit"]
+    env_col = sample_environment(scene["env"], directions)
+    position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
+
+    if ao_only:
+        ao = _ambient_occlusion(scene, options, position, normal, seeds, hit)
+        color = jnp.where(hit[..., None], ao[..., None], env_col)
+        return {"color": _sanitize(color)}
+
+    seed = seeds  # initRand restart per shade invocation
+    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit)
+
+    # ---- indirect diffuse (progressive only; depth 0 only) ----------------
+    indirect = jnp.zeros_like(direct)
+    if mode == "progressive":
+        seed_drawn, r0, r1 = rng.next_rand2(seed)
+        cosine = options["cosine_hemisphere_sampling"]
+        tangent, bitangent = vm.orthonormal_basis(normal)
+        rr = jnp.sqrt(r0)
+        phi = 2.0 * M_PI * r1
+        cos_dir = (
+            (rr * jnp.cos(phi))[..., None] * tangent
+            + jnp.sqrt(jnp.maximum(1.0 - r0, 0.0))[..., None] * normal
+            + (rr * jnp.sin(phi))[..., None] * bitangent
+        )
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - r0 * r0, 0.0))
+        uni_dir = (
+            (sin_t * jnp.cos(phi))[..., None] * tangent
+            + r0[..., None] * normal
+            + (sin_t * jnp.sin(phi))[..., None] * bitangent
+        )
+        sample_dir = jnp.where(cosine, cos_dir, uni_dir)
+        sec = _secondary_radiance(
+            scene, options, position, sample_dir, seeds, hit, mode
+        )
+        nol = vm.saturate(vm.dot(normal, sample_dir))
+        # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
+        # (evaluateIndirectDiffuse, ProgressiveRaytracing.hlsl:57-78).
+        contrib = jnp.where(cosine, sec * M_PI, sec * (nol * 2.0 * M_PI)[..., None])
+        no_ind = options["no_indirect_diffuse"]
+        indirect = jnp.where(no_ind, 0.0, contrib)
+        # HLSL consumes the 2 draws only when indirect diffuse runs.
+        seed = jnp.where(no_ind, seed, seed_drawn)
+
+    # ---- indirect specular (Phong lobe) ------------------------------------
+    # (ProgressiveRaytracing.hlsl:114-130 / RealtimeRaytracing.hlsl:77-93)
+    is_spec_mat = (mat["type"] == 1) | (mat["type"] == 2)
+    spec_active = hit & is_spec_mat & (mat["reflectivity"] > 0.001)
+    exponent = jnp.exp((1.0 - mat["roughness"]) * 12.0)
+    mirror = vm.normalize(vm.reflect(directions, normal))
+    seed, phong_dir, pdf, brdf = sampling.phong_lobe_sample(seed, mirror, exponent)
+    spec_rad = _secondary_radiance(
+        scene, options, position, phong_dir, seeds, spec_active, mode
+    )
+    # brdf/pdf = (e+2)/(e+1) analytically; guard the 0/0 underflow that the
+    # HLSL lets become NaN (then kills via max()).
+    ratio = jnp.where(pdf > 1e-30, brdf / jnp.maximum(pdf, 1e-30), (exponent + 2.0) / (exponent + 1.0))
+    specular = spec_rad * ratio[..., None]
+    specular = jnp.where(spec_active[..., None], specular, 0.0)
+    fresnel = sampling.fresnel_schlick(directions, normal, mat["specular"])
+    fresnel = jnp.where(spec_active[..., None], fresnel, 0.0)
+
+    diffuse_comp = (direct + indirect) / M_PI
+    refl = mat["reflectivity"][..., None]
+    emissive = mat["emissive"] * mat["emissive_strength"][..., None]
+    full = emissive + mat["albedo"] * diffuse_comp + refl * specular * fresnel
+
+    if mode == "realtime":
+        direct_aov = mat["albedo"] * direct / M_PI
+        spec_aov = refl * specular * fresnel
+        color = mat["albedo"] * direct / M_PI + refl * specular * fresnel
+        color = jnp.where(hit[..., None], color, env_col)
+        # Miss routes env into the direct AOV (RealtimeRaytracing.hlsl:119-126).
+        direct_aov = jnp.where(hit[..., None], direct_aov, env_col)
+        spec_aov = jnp.where(hit[..., None], spec_aov, 0.0)
+        return {
+            "color": _sanitize(color),
+            "direct": _sanitize(direct_aov),
+            "indirect_specular": _sanitize(spec_aov),
+            "albedo": jnp.where(hit[..., None], mat["albedo"], 0.0),
+            "roughness": jnp.where(hit, mat["roughness"], 0.0),
+        }
+
+    # ---- debug AOV selection at depth 0 (ProgressiveRaytracing.hlsl:132-145)
+    color = full
+    color = jnp.where(
+        options["show_direct_lighting_only"], mat["albedo"] * direct / M_PI, color
+    )
+    color = jnp.where(
+        options["show_gbuffer_albedo_only"], mat["albedo"], color
+    )
+    color = jnp.where(options["show_fresnel_term"], fresnel, color)
+    color = jnp.where(
+        options["show_indirect_specular_only"], refl * specular * fresnel, color
+    )
+    color = jnp.where(
+        options["show_indirect_diffuse_only"],
+        mat["albedo"] * indirect / M_PI,
+        color,
+    )
+    color = jnp.where(hit[..., None], color, env_col)
+    return {"color": _sanitize(color)}
+
+
+def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
+    """max(c, 0) with HLSL NaN semantics (max returns the non-NaN operand),
+    parity with the accumulation clamp (ProgressiveRaytracing.hlsl:37)."""
+    return jnp.where(jnp.isnan(color), 0.0, jnp.maximum(color, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "ao_only", "width", "height", "jitter_scale"))
+def render_sample(
+    scene: dict,
+    options: dict,
+    camera: dict,
+    width: int,
+    height: int,
+    mode: str = "progressive",
+    ao_only: bool = False,
+    jitter_scale: float = 30.0,
+) -> dict:
+    """Render one sample for the full [H, W] grid; the jitted per-frame kernel.
+
+    The TPU analogue of one DispatchRays(w, h)
+    (/root/reference/libs/DXRFramework/RtContext.cpp:192-222).
+    Returns dict of [H, W, ...] images.
+    """
+    from ..core.camera import primary_ray_grid  # local import to avoid cycle
+
+    origins, directions = primary_ray_grid(camera, width, height, jitter_scale)
+    o = origins.reshape(-1, 3)
+    d = directions.reshape(-1, 3)
+    seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
+    out = trace_rays(scene, options, o, d, seeds, mode=mode, ao_only=ao_only)
+    reshaped = {}
+    for k, v in out.items():
+        if v.ndim == 2:
+            reshaped[k] = v.reshape(height, width, v.shape[-1])
+        else:
+            reshaped[k] = v.reshape(height, width)
+    return reshaped

@@ -13,8 +13,12 @@ import sys
 # pip build isolation in this environment).
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. NOTE: this environment exports
+# JAX_PLATFORMS=axon (a remote TPU tunnel) globally and the plugin re-appends
+# itself, so we must both override the env var AND force the config after
+# import — otherwise "cpu" arrays silently live across the tunnel and every
+# host transfer costs seconds.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -23,4 +27,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
