@@ -1,0 +1,153 @@
+"""Progressive (accumulation) path tracing pipeline.
+
+TPU-native replacement for ``ProgressiveRaytracingPipeline``
+(/root/reference/src/ProgressiveRaytracingPipeline.cpp): per-frame update
+mirrors the reference (camera-moved accumulation reset, jitter draw, animated
+sun, dirty-flag reset from UI), and the render step is one jitted function
+that traces a sample and folds it into the running average
+
+    accum = (accumCount * prev + cur) / (accumCount + 1)
+
+exactly as the RayGen shader does (ProgressiveRaytracing.hlsl:36-38),
+skipping work once accumCount reaches maxIterations (ibid.:14-16).
+
+The accumulation state (image, count, last camera VP) is an explicit,
+checkpointable pytree — the reference's restartable-progress affordance
+(SURVEY.md §5 checkpoint/resume) made first-class.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.lights import animated_dir_light_forward, default_lights
+from ..trace.integrator import default_options, render_sample
+from .base import RaytracingPipeline, has_camera_moved, wall_seed
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "ao_only"))
+def progressive_step(
+    scene: dict,
+    options: dict,
+    camera: dict,
+    accum: jnp.ndarray,
+    max_iterations: jnp.ndarray,
+    width: int,
+    height: int,
+    ao_only: bool = False,
+) -> jnp.ndarray:
+    """One accumulation step; `accum` is donated-in-place by callers that jit
+    around this. Early-outs (cheaply, via lax.cond) when converged."""
+
+    def converged(_):
+        return accum
+
+    def sample(_):
+        out = render_sample(
+            scene,
+            options,
+            camera,
+            width,
+            height,
+            mode="progressive",
+            ao_only=ao_only,
+            jitter_scale=30.0,
+        )
+        cur = out["color"]
+        count = camera["accum_count"]
+        return (count * accum + cur) / (count + 1.0)
+
+    return jax.lax.cond(
+        camera["accum_count"] >= max_iterations.astype(jnp.float32),
+        converged,
+        sample,
+        None,
+    )
+
+
+class ProgressiveRaytracingPipeline(RaytracingPipeline):
+    name = "Progressive Raytracing"
+
+    def __init__(self, width: int = 512, height: int = 512, seed: int | None = None):
+        super().__init__()
+        self.options = default_options()
+        self.max_iterations = 1024
+        self.frame_accumulation_enabled = True
+        self.animation_paused = True  # reference default (ctor :30)
+        self.ao_only = False
+        self.rng = np.random.default_rng(wall_seed() if seed is None else seed)
+        self.accum_count = 0
+        self.last_vp: np.ndarray | None = None
+        self._frame_dirty = False
+        self.create_output_resource(width, height)
+        self._camera_params = None
+
+    # -- resources ---------------------------------------------------------- #
+    def create_output_resource(self, width: int, height: int) -> None:
+        super().create_output_resource(width, height)
+        self.accum = jnp.zeros((height, width, 3), jnp.float32)
+        self.accum_count = 0
+        self.last_vp = None
+
+    # -- per-frame ----------------------------------------------------------- #
+    def mark_dirty(self) -> None:
+        """UI parameter change -> restart accumulation (parity with the
+        frameDirty reset, ProgressiveRaytracingPipeline.cpp:309-311)."""
+        self._frame_dirty = True
+
+    def update(self, elapsed_time: float, elapsed_frames: int) -> None:
+        if self.animation_paused:
+            elapsed_time = 142.0  # reference freeze point (:179-181)
+
+        if (
+            has_camera_moved(self.camera, self.last_vp)
+            or not self.frame_accumulation_enabled
+            or self._frame_dirty
+        ):
+            self.accum_count = 0
+            self.last_vp = self.camera.view_proj_matrix()
+            self._frame_dirty = False
+
+        self._camera_params = self._frame_camera_params(
+            elapsed_frames, self.accum_count, self.rng
+        )
+        self.accum_count += 1
+
+        # Animated sun + default point light (:197-208) — only when the
+        # pipeline owns the light rig (scene didn't define one).
+        if self.scene_data is not None and getattr(self, "owns_lights", False):
+            lights = default_lights(elapsed_time)
+            self.scene_data = dict(self.scene_data, lights=lights)
+
+    def render(self) -> jnp.ndarray:
+        self.accum = progressive_step(
+            self.scene_data,
+            self.options,
+            self._camera_params,
+            self.accum,
+            jnp.asarray(self.max_iterations, jnp.int32),
+            self.width,
+            self.height,
+            ao_only=self.ao_only,
+        )
+        return self.accum
+
+    def get_output(self, index: int = 0) -> jnp.ndarray:
+        return self.accum
+
+    # -- checkpoint/resume ---------------------------------------------------- #
+    def state_dict(self) -> dict:
+        return {
+            "accum": np.asarray(self.accum),
+            "accum_count": self.accum_count,
+            "last_vp": self.last_vp,
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        self.accum = jnp.asarray(state["accum"])
+        self.accum_count = int(state["accum_count"])
+        self.last_vp = state["last_vp"]

@@ -1,0 +1,68 @@
+"""Realtime 1-spp pipeline producing denoiser AOVs.
+
+TPU-native replacement for ``RealtimeRaytracingPipeline``
+(/root/reference/src/RealtimeRaytracingPipeline.cpp +
+assets/shaders/RealtimeRaytracing.hlsl): same program topology as the
+progressive pipeline but two outputs — direct lighting and indirect
+specular — no accumulation (accumCount pinned 0,
+RealtimeRaytracingPipeline.cpp:181), 10x jitter scale, no indirect diffuse.
+Feeds models/denoise.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..scene.lights import default_lights
+from ..trace.integrator import default_options, render_sample
+from .base import RaytracingPipeline, wall_seed
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def realtime_step(scene: dict, options: dict, camera: dict, width: int, height: int):
+    out = render_sample(
+        scene, options, camera, width, height, mode="realtime", jitter_scale=10.0
+    )
+    return out["direct"], out["indirect_specular"]
+
+
+class RealtimeRaytracingPipeline(RaytracingPipeline):
+    name = "Realtime Raytracing"
+
+    def __init__(self, width: int = 1920, height: int = 1080, seed: int | None = None):
+        super().__init__()
+        self.options = default_options()
+        self.rng = np.random.default_rng(wall_seed() if seed is None else seed)
+        self.animation_paused = True
+        self.create_output_resource(width, height)
+        self._camera_params = None
+
+    def create_output_resource(self, width: int, height: int) -> None:
+        super().create_output_resource(width, height)
+        self.direct = jnp.zeros((height, width, 3), jnp.float32)
+        self.indirect_specular = jnp.zeros((height, width, 3), jnp.float32)
+
+    @property
+    def num_outputs(self) -> int:
+        return 2  # (RealtimeRaytracingPipeline::getNumOutputs()==2)
+
+    def update(self, elapsed_time: float, elapsed_frames: int) -> None:
+        if self.animation_paused:
+            elapsed_time = 142.0
+        # accumCount pinned to 0 (RealtimeRaytracingPipeline.cpp:181).
+        self._camera_params = self._frame_camera_params(elapsed_frames, 0, self.rng)
+        if self.scene_data is not None and getattr(self, "owns_lights", False):
+            self.scene_data = dict(self.scene_data, lights=default_lights(elapsed_time))
+
+    def render(self):
+        self.direct, self.indirect_specular = realtime_step(
+            self.scene_data, self.options, self._camera_params, self.width, self.height
+        )
+        return self.direct, self.indirect_specular
+
+    def get_output(self, index: int = 0) -> jnp.ndarray:
+        return self.direct if index == 0 else self.indirect_specular

@@ -77,8 +77,8 @@ def fallback_triangle() -> Mesh:
     reference fallback (/root/reference/libs/DXRFramework/RtModel.cpp:58-68
     spirit: a single visible triangle)."""
     positions = np.array(
-        [[0.0, 1.0, 0.0], [1.0, -1.0, 0.0], [-1.0, -1.0, 0.0]], np.float32
-    )
+        [[0.0, 1.0, 0.0], [-1.0, -1.0, 0.0], [1.0, -1.0, 0.0]], np.float32
+    )  # CCW seen from +z so the +z-facing side is the front face
     normals = np.tile(np.array([[0.0, 0.0, 1.0]], np.float32), (3, 1))
     indices = np.array([[0, 1, 2]], np.int32)
     return Mesh(positions, normals, indices, name="fallback_triangle")

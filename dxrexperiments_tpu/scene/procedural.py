@@ -38,12 +38,12 @@ def box_mesh(center, size, material_id: int = 0, yaw: float = 0.0) -> Mesh:
     # Each face as two CCW triangles (viewed from outside).
     faces = np.array(
         [
-            [0, 2, 1], [0, 3, 2],  # bottom (-y)
-            [4, 5, 6], [4, 6, 7],  # top (+y)
-            [0, 1, 5], [0, 5, 4],  # front (-z)
-            [2, 3, 7], [2, 7, 6],  # back (+z)
-            [3, 0, 4], [3, 4, 7],  # left (-x)
-            [1, 2, 6], [1, 6, 5],  # right (+x)
+            [0, 1, 2], [0, 2, 3],  # bottom (-y)
+            [4, 6, 5], [4, 7, 6],  # top (+y)
+            [0, 5, 1], [0, 4, 5],  # front (-z)
+            [2, 7, 3], [2, 6, 7],  # back (+z)
+            [3, 4, 0], [3, 7, 4],  # left (-x)
+            [1, 6, 2], [1, 5, 6],  # right (+x)
         ],
         np.int32,
     )

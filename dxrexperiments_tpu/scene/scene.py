@@ -132,7 +132,9 @@ class Scene:
                     materials.extend(mesh.materials)
                 ids = mesh.material_ids + mat_offset_for_mesh[key]
             else:
-                ids = np.zeros(len(tri), np.int32)
+                # Mesh faces index the scene-global material table directly
+                # (e.g. procedural scenes registering materials up front).
+                ids = np.clip(mesh.material_ids, 0, max(len(materials) - 1, 0))
             mat_ids.append(ids)
             inst_ids.append(np.full(len(tri), inst_idx, np.int32))
 

@@ -1,0 +1,220 @@
+"""Integrator tests: sampling math, shading terms, AOV modes, convergence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxrexperiments_tpu.core import rng
+from dxrexperiments_tpu.core.camera import Camera, camera_params
+from dxrexperiments_tpu.scene import Scene, cornell_box, envmap
+from dxrexperiments_tpu.scene.lights import directional_light, point_light
+from dxrexperiments_tpu.trace import default_options, render_sample
+from dxrexperiments_tpu.trace import sampling
+
+
+def make_cornell(glossy=False):
+    mesh, materials = cornell_box(glossy_tall_box=glossy)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    sc.environment = envmap.constant_env((0.0, 0.0, 0.0))
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(1, 1)
+    return sc.build(), cam
+
+
+def render(data, cam, n=32, mode="progressive", frame=0, ao_only=False, **opts):
+    params = camera_params(cam, frame_count=frame)
+    options = default_options(**opts)
+    return render_sample(data, options, params, n, n, mode=mode, ao_only=ao_only)
+
+
+# ---------------------------------------------------------------------- #
+# Sampling math
+# ---------------------------------------------------------------------- #
+def test_cos_hemisphere_upper_half_and_mean():
+    seeds = rng.init_rand(jnp.arange(4096, dtype=jnp.uint32), jnp.uint32(0))
+    n = jnp.broadcast_to(jnp.asarray([0.0, 1.0, 0.0]), (4096, 3))
+    _, d = sampling.cos_hemisphere_sample(seeds, n)
+    d = np.asarray(d)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-4)
+    assert d[:, 1].min() >= -1e-6
+    # E[cos theta] = 2/3 for cosine-weighted sampling.
+    np.testing.assert_allclose(d[:, 1].mean(), 2.0 / 3.0, atol=0.02)
+
+
+def test_uniform_hemisphere_mean():
+    seeds = rng.init_rand(jnp.arange(4096, dtype=jnp.uint32), jnp.uint32(1))
+    n = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (4096, 3))
+    _, d = sampling.uniform_hemisphere_sample(seeds, n)
+    d = np.asarray(d)
+    assert d[:, 2].min() >= -1e-6
+    # E[cos theta] = 1/2 for uniform hemisphere.
+    np.testing.assert_allclose(d[:, 2].mean(), 0.5, atol=0.02)
+
+
+def test_phong_lobe_ratio_and_concentration():
+    seeds = rng.init_rand(jnp.arange(1024, dtype=jnp.uint32), jnp.uint32(2))
+    mirror = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1024, 3))
+    _, d, pdf, brdf = sampling.phong_lobe_sample(seeds, mirror, jnp.asarray(100.0))
+    ratio = np.asarray(brdf / jnp.maximum(pdf, 1e-30))
+    np.testing.assert_allclose(ratio, 102.0 / 101.0, rtol=1e-4)
+    # High exponent concentrates samples around the mirror direction.
+    cos = np.asarray(d)[:, 2]
+    assert cos.mean() > 0.97
+
+
+def test_fresnel_schlick_limits():
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    f0 = jnp.asarray([[0.2, 0.2, 0.2]])
+    # Normal incidence -> f0.
+    head_on = sampling.fresnel_schlick(jnp.asarray([[0.0, 0.0, -1.0]]), n, f0)
+    np.testing.assert_allclose(np.asarray(head_on), 0.2, atol=1e-6)
+    # Grazing -> 1.
+    grazing = sampling.fresnel_schlick(jnp.asarray([[1.0, 0.0, -1e-4]]), n, f0)
+    np.testing.assert_allclose(np.asarray(grazing), 1.0, atol=1e-3)
+
+
+# ---------------------------------------------------------------------- #
+# Render semantics
+# ---------------------------------------------------------------------- #
+def test_render_shapes_and_finite():
+    data, cam = make_cornell()
+    out = render(data, cam, n=24)
+    assert out["color"].shape == (24, 24, 3)
+    img = np.asarray(out["color"])
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    assert img.max() > 0.01  # not black
+
+
+def test_albedo_aov_matches_materials():
+    data, cam = make_cornell()
+    out = render(data, cam, n=48, show_gbuffer_albedo_only=True)
+    img = np.asarray(out["color"])
+    # Left third should contain red-wall pixels, right third green.
+    left = img[:, :4].reshape(-1, 3)
+    right = img[:, -4:].reshape(-1, 3)
+    assert (left[:, 0] > 0.5).mean() > 0.5  # red dominant
+    assert (right[:, 1] > 0.3).mean() > 0.5  # green dominant
+
+
+def test_direct_only_darker_than_full():
+    data, cam = make_cornell()
+    full = np.asarray(render(data, cam, n=24)["color"]).mean()
+    direct = np.asarray(
+        render(data, cam, n=24, show_direct_lighting_only=True)["color"]
+    ).mean()
+    assert direct < full  # indirect+emissive add energy
+
+
+def test_no_indirect_kills_bounce_light():
+    data, cam = make_cornell()
+    ind = np.asarray(
+        render(data, cam, n=24, show_indirect_diffuse_only=True)["color"]
+    ).mean()
+    ind_off = np.asarray(
+        render(
+            data, cam, n=24, show_indirect_diffuse_only=True, no_indirect_diffuse=True
+        )["color"]
+    ).mean()
+    assert ind > 1e-4
+    assert ind_off < 1e-6
+
+
+def test_shadowing_occludes_point_light():
+    # A floor plane lit by a point light, with a blocker quad between.
+    from dxrexperiments_tpu.scene.mesh import Mesh
+
+    sc = Scene()
+    floor_pos = np.array(
+        [[-5, 0, -5], [-5, 0, 5], [5, 0, 5], [5, 0, -5]], np.float32
+    )
+    floor = Mesh(floor_pos, None, np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    blocker_pos = np.array(
+        [[-1, 2, -1], [-1, 2, 0.0], [0.0, 2, 0.0], [0.0, 2, -1]], np.float32
+    )
+    blocker = Mesh(blocker_pos, None, np.array([[0, 1, 2], [0, 2, 3]], np.int32))
+    sc.add_model(floor)
+    sc.add_model(blocker)
+    sc.lights = {
+        "dir": directional_light((0, -1, 0), (0, 0, 0, 0.0)),  # off
+        "point": point_light((-0.5, 4.0, -0.5), (1, 1, 1, 60.0)),
+    }
+    sc.environment = envmap.constant_env((0, 0, 0))
+    data = sc.build()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 6.0, 6.0), (0.0, 0.0, 0.0), (0, 1, 0))
+    cam.set_aspect(1, 1)
+    out = np.asarray(
+        render(data, cam, n=48, show_direct_lighting_only=True)["color"]
+    )
+    # Shadowed region is under the blocker (directly below at x,z in [-1,0]),
+    # lit region far from it. Project: camera looks down -z/-y; just compare
+    # overall: some pixels near zero (shadow) and some clearly lit.
+    lum = out.mean(-1)
+    assert (lum < 1e-4).sum() > 20  # shadow exists
+    assert lum.max() > 0.05  # lit floor exists
+
+
+def test_progressive_converges():
+    """Monte-Carlo variance shrinks with sample count (~1/N)."""
+    data, cam = make_cornell()
+    options = default_options()
+
+    def avg(frames, f0):
+        acc = None
+        for f in range(frames):
+            params = camera_params(cam, frame_count=f0 + f)
+            out = render_sample(data, options, params, 24, 24)
+            acc = out["color"] if acc is None else acc + out["color"]
+        return np.asarray(acc) / frames
+
+    a4, b4 = avg(4, 0), avg(4, 100)
+    a32, b32 = avg(32, 200), avg(32, 400)
+    d4 = np.mean((a4 - b4) ** 2)
+    d32 = np.mean((a32 - b32) ** 2)
+    assert d32 < d4 * 0.5, (d4, d32)
+
+
+def test_realtime_aovs():
+    data, cam = make_cornell(glossy=True)
+    out = render(data, cam, n=32, mode="realtime")
+    assert set(out) >= {"color", "direct", "indirect_specular", "albedo", "roughness"}
+    direct = np.asarray(out["direct"])
+    spec = np.asarray(out["indirect_specular"])
+    assert np.isfinite(direct).all() and np.isfinite(spec).all()
+    # Glossy tall box contributes some specular energy.
+    assert spec.max() > 0.0
+    # color == direct + indirect_specular for hit pixels (miss pixels: direct
+    # carries env, spec is 0, so equality holds everywhere).
+    np.testing.assert_allclose(
+        np.asarray(out["color"]), direct + spec, atol=1e-5
+    )
+
+
+def test_ao_only_mode():
+    data, cam = make_cornell()
+    out = render(data, cam, n=24, ao_only=True)
+    img = np.asarray(out["color"])
+    assert np.isfinite(img).all()
+    # AO is grayscale (r==g==b).
+    np.testing.assert_allclose(img[..., 0], img[..., 1], atol=1e-6)
+    # Open box: sky-facing surfaces see >0 visibility somewhere.
+    assert img.max() > 0.1
+
+
+def test_env_miss_through_opening():
+    data, cam = make_cornell()
+    # Look away from the box: all rays miss -> pure env color * strength.
+    cam2 = Camera()
+    cam2.set_eye_at_up((0.0, 1.0, 5.0), (0.0, 1.0, 10.0), (0, 1, 0))
+    cam2.set_aspect(1, 1)
+    data2 = dict(data, env=envmap.constant_env((0.25, 0.5, 0.75), strength=2.0))
+    out = np.asarray(render(data2, cam2, n=8)["color"])
+    np.testing.assert_allclose(out, np.broadcast_to([0.5, 1.0, 1.5], out.shape), atol=1e-5)
