@@ -1,0 +1,8 @@
+from . import render  # noqa: F401
+from .render import (  # noqa: F401
+    make_render_mesh,
+    progressive_step_sharded,
+    render_samples_sharded,
+    replicate_scene,
+    stack_cameras,
+)
