@@ -1,0 +1,317 @@
+"""Fused Pallas intersection kernels — the framework's flagship device code.
+
+The TPU re-expression of the Fallback Layer's traversal/intersection compute
+shaders (the reference's closed-source heart, /root/reference/README.md:23-29)
+and of the fixed-function ``TraceRay`` machinery. Two kernels:
+
+  * ``trace_closest`` — closest hit + interpolated hit attributes + material
+  * ``trace_any``     — boolean occlusion (shadow rays)
+
+Why a kernel at all: the jnp intersector materializes [R, T] intermediates in
+HBM (~134 MB each at 512² x 128 tris); at 9 traces/frame that HBM traffic is
+the whole frame time. Here each (ray-tile x tri-chunk) block lives entirely
+in VMEM.
+
+TPU-native design (layouts chosen by measurement):
+  * Rays ride the LANE dimension everywhere: ray buffer [8, R] (rows
+    ox,oy,oz,dx,dy,dz,tmin,tmax), pair arrays [C, TILE_R] with triangles on
+    sublanes. This beats the transposed layout ~1.5x and makes every
+    reduction a sublane reduction.
+  * The four Möller–Trumbore terms are VPU broadcast-FMAs with hard-coded
+    row sparsity (19 passes), NOT matmuls: Mosaic's HIGHEST-precision MXU
+    emulation is ~18x slower at these K=16 shapes and DEFAULT bf16 is both
+    latency-bound and too coarse for hit predicates.
+  * Hit attributes (vertex normals, material row) come from a ONE-HOT MATMUL
+    attr[32, C] @ sel[C, TILE_R] -> [32, TILE_R] — the MXU as a gather
+    engine, output already in row layout. Shading then needs zero gathers.
+  * Grid is (ray_tiles, tri_chunks) with the running best hit carried in the
+    revisited output block; chunk results merge with a strictly-better test,
+    reproducing the scan semantics of ops/intersect.py exactly.
+
+Outputs ``[32, R]``: rows 0..4 = t,u,v,tri,hit; 5 = mat_id; 6..8 = shading
+normal (unit, interpolated); 9..11 = hit position; 12.. = material rows
+(albedo, specular, emissive, estrength, reflectivity, roughness, ior, type).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 1024  # rays per block (lane dimension of the pair arrays)
+BIG = 3.0e38  # plain float so kernels don't capture a traced constant
+OUT_ROWS = 32
+
+# output row indices
+ROW_T, ROW_U, ROW_V, ROW_TRI, ROW_HIT, ROW_MAT = 0, 1, 2, 3, 4, 5
+ROW_N = 6  # 6..8 normal
+ROW_P = 9  # 9..11 position
+ROW_ALBEDO = 12  # 12..14
+ROW_SPECULAR = 15  # 15..17
+ROW_EMISSIVE = 18  # 18..20
+ROW_ESTR, ROW_REFL, ROW_ROUGH, ROW_IOR, ROW_TYPE = 21, 22, 23, 24, 25
+
+
+def _tri_chunk(t_padded: int) -> int:
+    for c in (512, 256, 128):
+        if t_padded % c == 0:
+            return min(c, t_padded)
+    raise ValueError(f"triangle count {t_padded} not 128-aligned")
+
+
+def _pair_block(rays_ref, mt_ref, cull: bool, tmin, tmax, need_t: bool = True):
+    """Validity + t for a [C, TILE_R] block (triangles on sublanes, rays on
+    lanes), full-f32 VPU broadcast FMAs. Returns (valid, t_pair, us, vs,
+    det_abs), all [C, TILE_R]; t_pair is None when need_t=False (occlusion
+    queries skip the per-pair divide)."""
+    o = [rays_ref[k, :][None, :] for k in range(3)]  # [1, TILE_R]
+    d = [rays_ref[3 + k, :][None, :] for k in range(3)]
+    m = [
+        o[1] * d[2] - o[2] * d[1],
+        o[2] * d[0] - o[0] * d[2],
+        o[0] * d[1] - o[1] * d[0],
+    ]
+
+    def col(g, k):
+        return mt_ref[g, :, k][:, None]  # [C, 1]
+
+    det = d[0] * col(0, 0) + d[1] * col(0, 1) + d[2] * col(0, 2)
+    u_d = (
+        d[0] * col(1, 0)
+        + d[1] * col(1, 1)
+        + d[2] * col(1, 2)
+        + m[0] * col(1, 3)
+        + m[1] * col(1, 4)
+        + m[2] * col(1, 5)
+    )
+    v_d = (
+        d[0] * col(2, 0)
+        + d[1] * col(2, 1)
+        + d[2] * col(2, 2)
+        + m[0] * col(2, 3)
+        + m[1] * col(2, 4)
+        + m[2] * col(2, 5)
+    )
+    t_d = o[0] * col(3, 6) + o[1] * col(3, 7) + o[2] * col(3, 8) + col(3, 9)
+
+    s = jnp.sign(det)
+    det_abs = det * s
+    us = u_d * s
+    vs = v_d * s
+    ts = t_d * s
+    eps = jnp.float32(1e-12)
+    alive = (det > eps) if cull else (det_abs > eps)
+    valid = (
+        alive
+        & (us >= 0.0)
+        & (vs >= 0.0)
+        & (us + vs <= det_abs)
+        & (ts > tmin[None, :] * det_abs)
+        & (ts < tmax[None, :] * det_abs)
+    )
+    if not need_t:
+        return valid, None, us, vs, det_abs
+    t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+    return valid, t_pair, us, vs, det_abs
+
+
+def _closest_kernel(rays_ref, mt_ref, attr_ref, out_ref, *, cull: bool, chunk: int):
+    j = pl.program_id(1)
+    tmin = rays_ref[6, :]
+    tmax = rays_ref[7, :]
+    valid, t_pair, us, vs, det_abs = _pair_block(rays_ref, mt_ref, cull, tmin, tmax)
+
+    # Best within this chunk (reductions over sublanes/triangles, axis 0).
+    c_t = jnp.min(t_pair, axis=0)  # [TILE_R]
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+    big_i = jnp.int32(2**30)
+    c_local = jnp.min(
+        jnp.where(t_pair == c_t[None, :], rows, big_i), axis=0
+    )  # first minimal triangle
+    sel = (rows == c_local[None, :]).astype(jnp.float32)  # one-hot [C, TILE_R]
+
+    def pick(x):
+        return jnp.sum(x * sel, axis=0)
+
+    inv_det = 1.0 / jnp.maximum(pick(det_abs), 1e-12)
+    c_u = pick(us) * inv_det
+    c_v = pick(vs) * inv_det
+
+    # Attribute fetch for the chunk winner: one-hot matmul (MXU gather),
+    # output directly in row layout [32, TILE_R].
+    at = jax.lax.dot_general(
+        attr_ref[:, :],
+        sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    c_tri = (c_local + j * chunk).astype(jnp.float32)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        out_ref[ROW_T, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+
+    best_t = out_ref[ROW_T, :]
+    better = c_t < best_t
+
+    def merge(row, new):
+        out_ref[row, :] = jnp.where(better, new, out_ref[row, :])
+
+    merge(ROW_T, c_t)
+    merge(ROW_U, c_u)
+    merge(ROW_V, c_v)
+    merge(ROW_TRI, c_tri)
+    # interpolated shading normal (unnormalized here; normalized at finalize)
+    w = 1.0 - c_u - c_v
+    merge(ROW_N + 0, w * at[0] + c_u * at[3] + c_v * at[6])
+    merge(ROW_N + 1, w * at[1] + c_u * at[4] + c_v * at[7])
+    merge(ROW_N + 2, w * at[2] + c_u * at[5] + c_v * at[8])
+    merge(ROW_MAT, at[9])
+    for k in range(14):  # material rows: attr rows 10..23 -> out rows 12..25
+        merge(ROW_ALBEDO + k, at[10 + k])
+
+    # Finalize on the last chunk: hit flag, normalize normal, position.
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _final():
+        t = out_ref[ROW_T, :]
+        hit = t < BIG
+        t = jnp.where(hit, t, -1.0)
+        out_ref[ROW_T, :] = t
+        out_ref[ROW_HIT, :] = hit.astype(jnp.float32)
+        n2 = (
+            out_ref[ROW_N, :] ** 2
+            + out_ref[ROW_N + 1, :] ** 2
+            + out_ref[ROW_N + 2, :] ** 2
+        )
+        inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+        for k in range(3):
+            out_ref[ROW_N + k, :] = out_ref[ROW_N + k, :] * inv
+            out_ref[ROW_P + k, :] = rays_ref[k, :] + t * rays_ref[3 + k, :]
+
+
+def _any_kernel(rays_ref, mt_ref, out_ref, *, chunk: int):
+    j = pl.program_id(1)
+    tmin = rays_ref[6, :]
+    tmax = rays_ref[7, :]
+    valid, _, _, _, _ = _pair_block(
+        rays_ref, mt_ref, False, tmin, tmax, need_t=False
+    )
+    occ = jnp.max(valid.astype(jnp.float32), axis=0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    out_ref[0, :] = jnp.maximum(out_ref[0, :], occ)
+
+
+def _pack_rays(origins, directions, t_min, t_max):
+    """AoS [R,3] -> SoA [8, R_pad] (rows o,d,tmin,tmax), padding with dead
+    rays (d=0 -> det==0 -> miss)."""
+    r = origins.shape[0]
+    r_pad = -(-r // TILE_R) * TILE_R
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    rays = jnp.concatenate(
+        [origins.T, directions.T, t_min[None], t_max[None]], axis=0
+    )
+    return jnp.pad(rays, ((0, 0), (0, r_pad - r))), r_pad
+
+
+@functools.partial(jax.jit, static_argnames=("cull_backface", "interpret"))
+def trace_closest(
+    scene: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    cull_backface: bool = False,
+    interpret: bool = False,
+) -> dict:
+    """Closest hit with fused attributes. Returns a dict of [R] arrays:
+    hit, t, tri, u, v, normal [R,3], position [R,3], mat_id, and material
+    fields (albedo/specular/emissive [R,3], emissive_strength, reflectivity,
+    roughness, ior, type)."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    t_padded = scene["mt_pack"].shape[1]
+    chunk = _tri_chunk(t_padded)
+
+    out = pl.pallas_call(
+        functools.partial(_closest_kernel, cull=cull_backface, chunk=chunk),
+        grid=(r_pad // TILE_R, t_padded // chunk),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, chunk, 16), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((32, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (OUT_ROWS, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((OUT_ROWS, r_pad), jnp.float32),
+        interpret=interpret,
+    )(rays, scene["mt_pack"], scene["attr_pack"])
+
+    out = out[:, :r]
+    hit = out[ROW_HIT] > 0.5
+    return {
+        "hit": hit,
+        "t": out[ROW_T],
+        "tri": jnp.where(hit, out[ROW_TRI].astype(jnp.int32), -1),
+        "u": out[ROW_U],
+        "v": out[ROW_V],
+        "normal": out[ROW_N : ROW_N + 3].T,
+        "position": out[ROW_P : ROW_P + 3].T,
+        "mat_id": out[ROW_MAT].astype(jnp.int32),
+        "albedo": out[ROW_ALBEDO : ROW_ALBEDO + 3].T,
+        "specular": out[ROW_SPECULAR : ROW_SPECULAR + 3].T,
+        "emissive": out[ROW_EMISSIVE : ROW_EMISSIVE + 3].T,
+        "emissive_strength": out[ROW_ESTR],
+        "reflectivity": out[ROW_REFL],
+        "roughness": out[ROW_ROUGH],
+        "ior": out[ROW_IOR],
+        "type": out[ROW_TYPE].astype(jnp.int32),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def trace_any(
+    scene: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Occlusion query (shadow rays): True where any triangle blocks."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    t_padded = scene["mt_pack"].shape[1]
+    chunk = _tri_chunk(t_padded)
+
+    out = pl.pallas_call(
+        functools.partial(_any_kernel, chunk=chunk),
+        grid=(r_pad // TILE_R, t_padded // chunk),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (4, chunk, 16), lambda i, j: (0, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TILE_R), lambda i, j: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        interpret=interpret,
+    )(rays, scene["mt_pack"])
+
+    return out[0, :r] > 0.5

@@ -188,7 +188,42 @@ class Scene:
             else envmap_mod.constant_env((0.0, 0.0, 0.0))
         )
 
+        # ---- Pallas kernel packings (see ops/intersect_pallas.py) ---------
+        # Triangle-on-sublanes layout (rays ride the lane dimension in the
+        # kernels). mt_pack [4, T, 16]: coefficient rows per term group g so
+        # term[c, r] = sum_k mt_pack[g, c, k] * lhs_k[r], lhs = [D, M, O, 1].
+        mt_pack = np.zeros((4, padded, 16), np.float32)
+        mt_pack[0, :, 0:3] = -pn  # det  = -(D . pn)
+        mt_pack[1, :, 0:3] = c1  # u*det =  D . c1 + M . e2
+        mt_pack[1, :, 3:6] = e2
+        mt_pack[2, :, 0:3] = -c2  # v*det = -D . c2 - M . e1
+        mt_pack[2, :, 3:6] = -e1
+        mt_pack[3, :, 6:9] = pn  # t*det =  O . pn - d0
+        mt_pack[3, :, 9] = -d0
+
+        # attr_pack [32, T]: per-triangle hit attributes fetched via a
+        # one-hot matmul attr[32,C] @ sel[C,R] (MXU as gather engine):
+        # vertex normals, material id and the full material row so shading
+        # needs no gathers at all.
+        mats = stack_materials(materials)
+        mat_np = {k: np.asarray(v) for k, v in mats.items()}
+        attr = np.zeros((32, padded), np.float32)
+        attr[0:3] = n0.T
+        attr[3:6] = n1.T
+        attr[6:9] = n2.T
+        attr[9] = mid.astype(np.float32)
+        attr[10:13] = mat_np["albedo"][mid].T
+        attr[13:16] = mat_np["specular"][mid].T
+        attr[16:19] = mat_np["emissive"][mid].T
+        attr[19] = mat_np["emissive_strength"][mid]
+        attr[20] = mat_np["reflectivity"][mid]
+        attr[21] = mat_np["roughness"][mid]
+        attr[22] = mat_np["ior"][mid]
+        attr[23] = mat_np["type"][mid].astype(np.float32)
+
         return {
+            "mt_pack": jnp.asarray(mt_pack),
+            "attr_pack": jnp.asarray(attr),
             "v0": jnp.asarray(v0),
             "e1": jnp.asarray(e1),
             "e2": jnp.asarray(e2),
@@ -202,7 +237,7 @@ class Scene:
             "mat_id": jnp.asarray(mid),
             "inst_id": jnp.asarray(iid),
             "num_tris": jnp.asarray(num_tris, jnp.int32),
-            "materials": stack_materials(materials),
+            "materials": mats,
             "lights": lights,
             "env": env,
         }

@@ -39,7 +39,7 @@ import jax.numpy as jnp
 
 from ..core import rng
 from ..core import vecmath as vm
-from ..ops import intersect
+from ..ops import intersect, intersect_pallas
 from ..scene.envmap import sample_environment
 from . import sampling
 
@@ -70,6 +70,63 @@ def default_options(**overrides) -> dict:
     return opts
 
 
+def resolve_impl(impl: str) -> str:
+    """'auto' -> fused Pallas kernels on TPU, jnp reference elsewhere."""
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "jnp"
+    return impl
+
+
+def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
+    """Closest hit + hit attributes, dispatched to the chosen backend.
+
+    Returns (hit, position, normal, mat) where mat is the per-ray material
+    field dict — the Pallas kernel returns attributes fused (no gathers), the
+    jnp path interpolates/gathers after the hit.
+    """
+    impl = resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret"):
+        h = intersect_pallas.trace_closest(
+            scene,
+            origins,
+            directions,
+            t_min,
+            t_max,
+            cull_backface=cull,
+            interpret=(impl == "pallas_interpret"),
+        )
+        mat = {
+            "albedo": h["albedo"],
+            "specular": h["specular"],
+            "emissive": h["emissive"],
+            "emissive_strength": h["emissive_strength"],
+            "reflectivity": h["reflectivity"],
+            "roughness": h["roughness"],
+            "ior": h["ior"],
+            "type": h["type"],
+        }
+        return h["hit"], h["position"], h["normal"], mat
+    hits = intersect.intersect_closest(
+        scene, origins, directions, t_min, t_max, cull_backface=cull
+    )
+    position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
+    return hits["hit"], position, normal, mat
+
+
+def _trace_any(scene, origins, directions, t_min, t_max, impl: str):
+    impl = resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret"):
+        return intersect_pallas.trace_any(
+            scene,
+            origins,
+            directions,
+            t_min,
+            t_max,
+            interpret=(impl == "pallas_interpret"),
+        )
+    return intersect.intersect_any(scene, origins, directions, t_min, t_max)
+
+
 def _gather_material(materials: dict, mat_id: jnp.ndarray) -> dict:
     return {k: v[mat_id] for k, v in materials.items()}
 
@@ -95,47 +152,46 @@ def _interpolate_hit(scene: dict, hits: dict, origins, directions):
 # --------------------------------------------------------------------------- #
 # Lights (RaytracingCommon.hlsli:126-147)
 # --------------------------------------------------------------------------- #
-def _eval_directional_light(scene, position, normal, active):
+def _eval_directional_light(scene, position, normal, active, impl):
     light = scene["lights"]["dir"]
     l_dir = vm.normalize(-light["forward"])
     l_dir_b = jnp.broadcast_to(l_dir, position.shape)
     nol = vm.saturate(vm.dot(normal, l_dir_b))
-    occluded = intersect.intersect_any(
-        scene, position, l_dir_b, RAY_EPSILON, RAY_MAX_T
-    )
+    occluded = _trace_any(scene, position, l_dir_b, RAY_EPSILON, RAY_MAX_T, impl)
     visible = jnp.where(active & ~occluded, 1.0, 0.0)
     return light["color"] * light["intensity"] * (nol * visible)[..., None]
 
 
-def _eval_point_light(scene, position, normal, active):
+def _eval_point_light(scene, position, normal, active, impl):
     light = scene["lights"]["point"]
     path = light["position"] - position
     dist = vm.length(path)
     l_dir = vm.normalize(path)
     nol = vm.saturate(vm.dot(normal, l_dir))
-    occluded = intersect.intersect_any(
-        scene, position, l_dir, RAY_EPSILON, jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
+    occluded = _trace_any(
+        scene, position, l_dir, RAY_EPSILON,
+        jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON), impl,
     )
     visible = jnp.where(active & ~occluded, 1.0, 0.0)
     falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
     return light["color"] * light["intensity"] * (nol * visible * falloff)[..., None]
 
 
-def _direct_lighting(scene, options, position, normal, seed, active):
+def _direct_lighting(scene, options, position, normal, seed, active, impl):
     """Direct term with the debug==2 one-of-two-lights MC estimator
     (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3])."""
     seed_mc, pick = rng.next_rand(seed)
     is_mc = options["debug"] == 2
     # HLSL consumes the picking draw only when debug==2.
     seed_out = jnp.where(is_mc, seed_mc, seed)
-    d_contrib = _eval_directional_light(scene, position, normal, active)
-    p_contrib = _eval_point_light(scene, position, normal, active)
+    d_contrib = _eval_directional_light(scene, position, normal, active, impl)
+    p_contrib = _eval_point_light(scene, position, normal, active, impl)
     full = d_contrib + p_contrib
     mc = jnp.where((pick < 0.5)[..., None], d_contrib * 2.0, p_contrib * 2.0)
     return seed_out, jnp.where(is_mc, mc, full)
 
 
-def _ambient_occlusion(scene, options, position, normal, seed, active):
+def _ambient_occlusion(scene, options, position, normal, seed, active, impl):
     """4-ray AO (evaluateAO, RaytracingCommon.hlsli:98-124)."""
     visibility = jnp.zeros(position.shape[:-1], jnp.float32)
     cosine = options["cosine_hemisphere_sampling"]
@@ -159,9 +215,7 @@ def _ambient_occlusion(scene, options, position, normal, seed, active):
         sample_dir = jnp.where(cosine, cos_dir, uni_dir)
         nol = vm.saturate(vm.dot(normal, sample_dir))
         pdf = jnp.where(cosine, nol / M_PI, 1.0 / (2.0 * M_PI))
-        occluded = intersect.intersect_any(
-            scene, position, sample_dir, RAY_EPSILON, 10.0
-        )
+        occluded = _trace_any(scene, position, sample_dir, RAY_EPSILON, 10.0, impl)
         vis = jnp.where(active & ~occluded, 1.0, 0.0)
         visibility += vis * nol / jnp.maximum(pdf, 1e-8)
     return visibility / 4.0
@@ -172,16 +226,15 @@ def _ambient_occlusion(scene, options, position, normal, seed, active):
 # and indirect cut off by MAX_RADIANCE_RAY_DEPTH
 # (ProgressiveRaytracing.hlsl:41-55 via shade() at depth 1).
 # --------------------------------------------------------------------------- #
-def _secondary_radiance(scene, options, origins, directions, seeds, active, mode: str):
-    hits = intersect.intersect_closest(
-        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull_backface=False
+def _secondary_radiance(scene, options, origins, directions, seeds, active, mode: str, impl: str):
+    is_hit, position, normal, mat = _trace_closest(
+        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull=False, impl=impl
     )
-    hit = hits["hit"] & active
+    hit = is_hit & active
     env_col = sample_environment(scene["env"], directions)
-    position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
 
     seed = seeds  # shade() re-seeds identically per invocation
-    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit)
+    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit, impl)
 
     if mode == "progressive":
         # emissive + albedo * direct / pi  (ProgressiveRaytracing.hlsl:112,147)
@@ -207,6 +260,7 @@ def trace_rays(
     seeds: jnp.ndarray,
     mode: str = "progressive",
     ao_only: bool = False,
+    impl: str = "auto",
 ) -> dict:
     """Trace one sample for a dense batch of primary rays.
 
@@ -220,20 +274,18 @@ def trace_rays(
     RealtimeRaytracing.hlsl:44-45).
     """
     # Primary rays cull backfaces (ProgressiveRaytracing.hlsl:34).
-    hits = intersect.intersect_closest(
-        scene, origins, directions, 0.0, RAY_MAX_T, cull_backface=True
+    hit, position, normal, mat = _trace_closest(
+        scene, origins, directions, 0.0, RAY_MAX_T, cull=True, impl=impl
     )
-    hit = hits["hit"]
     env_col = sample_environment(scene["env"], directions)
-    position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
 
     if ao_only:
-        ao = _ambient_occlusion(scene, options, position, normal, seeds, hit)
+        ao = _ambient_occlusion(scene, options, position, normal, seeds, hit, impl)
         color = jnp.where(hit[..., None], ao[..., None], env_col)
         return {"color": _sanitize(color)}
 
     seed = seeds  # initRand restart per shade invocation
-    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit)
+    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit, impl)
 
     # ---- indirect diffuse (progressive only; depth 0 only) ----------------
     indirect = jnp.zeros_like(direct)
@@ -256,7 +308,7 @@ def trace_rays(
         )
         sample_dir = jnp.where(cosine, cos_dir, uni_dir)
         sec = _secondary_radiance(
-            scene, options, position, sample_dir, seeds, hit, mode
+            scene, options, position, sample_dir, seeds, hit, mode, impl
         )
         nol = vm.saturate(vm.dot(normal, sample_dir))
         # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
@@ -275,7 +327,7 @@ def trace_rays(
     mirror = vm.normalize(vm.reflect(directions, normal))
     seed, phong_dir, pdf, brdf = sampling.phong_lobe_sample(seed, mirror, exponent)
     spec_rad = _secondary_radiance(
-        scene, options, position, phong_dir, seeds, spec_active, mode
+        scene, options, position, phong_dir, seeds, spec_active, mode, impl
     )
     # brdf/pdf = (e+2)/(e+1) analytically; guard the 0/0 underflow that the
     # HLSL lets become NaN (then kills via max()).
@@ -333,7 +385,10 @@ def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(color), 0.0, jnp.maximum(color, 0.0))
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "ao_only", "width", "height", "jitter_scale"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("mode", "ao_only", "width", "height", "jitter_scale", "impl"),
+)
 def render_sample(
     scene: dict,
     options: dict,
@@ -343,6 +398,7 @@ def render_sample(
     mode: str = "progressive",
     ao_only: bool = False,
     jitter_scale: float = 30.0,
+    impl: str = "auto",
 ) -> dict:
     """Render one sample for the full [H, W] grid; the jitted per-frame kernel.
 
@@ -356,7 +412,7 @@ def render_sample(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
     seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
-    out = trace_rays(scene, options, o, d, seeds, mode=mode, ao_only=ao_only)
+    out = trace_rays(scene, options, o, d, seeds, mode=mode, ao_only=ao_only, impl=impl)
     reshaped = {}
     for k, v in out.items():
         if v.ndim == 2:
