@@ -40,8 +40,9 @@ def progressive_step(
     height: int,
     ao_only: bool = False,
 ) -> jnp.ndarray:
-    """One accumulation step; `accum` is donated-in-place by callers that jit
-    around this. Early-outs (cheaply, via lax.cond) when converged."""
+    """One accumulation step with the scene as an argument (reference
+    implementation; prefer make_progressive_step for the hot path — scene
+    pytree args cost ~16 ms/dispatch over the axon tunnel)."""
 
     def converged(_):
         return accum
@@ -67,6 +68,45 @@ def progressive_step(
         sample,
         None,
     )
+
+
+def make_progressive_step(scene: dict, width: int, height: int, ao_only: bool = False):
+    """Compile the accumulation step with scene geometry baked in (see
+    trace.integrator.make_render_step for why). Returns jitted
+    ``step(accum, options, camera, lights, env, max_iterations)``."""
+    geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
+    env_kind = int(scene["env"]["kind"])
+
+    @jax.jit
+    def step(accum, options, camera, lights, env, max_iterations):
+        full = dict(geo, lights=lights, env=env)
+
+        def converged(_):
+            return accum
+
+        def sample(_):
+            out = render_sample(
+                full,
+                options,
+                camera,
+                width,
+                height,
+                mode="progressive",
+                ao_only=ao_only,
+                jitter_scale=30.0,
+                env_kind=env_kind,
+            )
+            count = camera["accum_count"]
+            return (count * accum + out["color"]) / (count + 1.0)
+
+        return jax.lax.cond(
+            camera["accum_count"] >= max_iterations.astype(jnp.float32),
+            converged,
+            sample,
+            None,
+        )
+
+    return step
 
 
 class ProgressiveRaytracingPipeline(RaytracingPipeline):
@@ -123,16 +163,28 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
             lights = default_lights(elapsed_time)
             self.scene_data = dict(self.scene_data, lights=lights)
 
+    def _step_fn(self):
+        # Recompile only when geometry identity or static config changes
+        # (lights/env stay arguments, so animation never recompiles).
+        geo_key = (self.width, self.height, self.ao_only) + tuple(
+            id(v) for k, v in sorted(self.scene_data.items())
+            if k not in ("lights", "env")
+        )
+        if getattr(self, "_geo_key", None) != geo_key:
+            self._step = make_progressive_step(
+                self.scene_data, self.width, self.height, self.ao_only
+            )
+            self._geo_key = geo_key
+        return self._step
+
     def render(self) -> jnp.ndarray:
-        self.accum = progressive_step(
-            self.scene_data,
+        self.accum = self._step_fn()(
+            self.accum,
             self.options,
             self._camera_params,
-            self.accum,
+            self.scene_data["lights"],
+            self.scene_data["env"],
             jnp.asarray(self.max_iterations, jnp.int32),
-            self.width,
-            self.height,
-            ao_only=self.ao_only,
         )
         return self.accum
 

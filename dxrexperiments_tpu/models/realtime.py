@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..scene.lights import default_lights
-from ..trace.integrator import default_options, render_sample
+from ..trace.integrator import default_options, make_render_step, render_sample
 from .base import RaytracingPipeline, wall_seed
 
 
@@ -58,10 +58,30 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
         if self.scene_data is not None and getattr(self, "owns_lights", False):
             self.scene_data = dict(self.scene_data, lights=default_lights(elapsed_time))
 
-    def render(self):
-        self.direct, self.indirect_specular = realtime_step(
-            self.scene_data, self.options, self._camera_params, self.width, self.height
+    def _step_fn(self):
+        geo_key = (self.width, self.height) + tuple(
+            id(v) for k, v in sorted(self.scene_data.items())
+            if k not in ("lights", "env")
         )
+        if getattr(self, "_geo_key", None) != geo_key:
+            self._step = make_render_step(
+                self.scene_data,
+                self.width,
+                self.height,
+                mode="realtime",
+                jitter_scale=10.0,
+            )
+            self._geo_key = geo_key
+        return self._step
+
+    def render(self):
+        out = self._step_fn()(
+            self.options,
+            self._camera_params,
+            self.scene_data["lights"],
+            self.scene_data["env"],
+        )
+        self.direct, self.indirect_specular = out["direct"], out["indirect_specular"]
         return self.direct, self.indirect_specular
 
     def get_output(self, index: int = 0) -> jnp.ndarray:

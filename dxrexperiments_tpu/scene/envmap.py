@@ -152,30 +152,46 @@ def _bilinear_cube(cube: jnp.ndarray, face, u, v) -> jnp.ndarray:
     )
 
 
-def sample_environment(env: dict, directions: jnp.ndarray) -> jnp.ndarray:
+def sample_environment(
+    env: dict, directions: jnp.ndarray, static_kind: int | None = None
+) -> jnp.ndarray:
     """Radiance for unit directions [..., 3] — the miss "shader".
 
     Includes the environmentStrength multiplier
     (/root/reference/assets/shaders/RaytracingCommon.hlsli:158).
+
+    ``static_kind`` specializes the compiled code to one env kind (the
+    compiled-step factories pass it): with a traced kind every frame pays
+    the texture gathers of ALL kinds just to select one.
     """
     kind = env["kind"]
-    t = jnp.clip(directions[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
-    grad = env["grad_horizon"] * (1 - t) + env["grad_zenith"] * t
 
-    u, v = dir_to_latlong_uv(directions)
-    latlong = _bilinear_wrap_u(env["latlong"], u, v)
+    def compute(k: int):
+        if k == ENV_CONSTANT:
+            return jnp.broadcast_to(env["const_color"], directions.shape)
+        if k == ENV_GRADIENT:
+            t = jnp.clip(directions[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+            return env["grad_horizon"] * (1 - t) + env["grad_zenith"] * t
+        if k == ENV_LATLONG:
+            u, v = dir_to_latlong_uv(directions)
+            return _bilinear_wrap_u(env["latlong"], u, v)
+        face, cu, cv = dir_to_cube_face_uv(directions)
+        return _bilinear_cube(env["cube"], face, cu, cv)
 
-    face, cu, cv = dir_to_cube_face_uv(directions)
-    cube = _bilinear_cube(env["cube"], face, cu, cv)
+    if static_kind is not None:
+        return compute(static_kind) * env["strength"]
 
-    const = jnp.broadcast_to(env["const_color"], directions.shape)
     out = jnp.where(
         (kind == ENV_CONSTANT)[..., None],
-        const,
+        compute(ENV_CONSTANT),
         jnp.where(
             (kind == ENV_GRADIENT)[..., None],
-            grad,
-            jnp.where((kind == ENV_LATLONG)[..., None], latlong, cube),
+            compute(ENV_GRADIENT),
+            jnp.where(
+                (kind == ENV_LATLONG)[..., None],
+                compute(ENV_LATLONG),
+                compute(ENV_CUBEMAP),
+            ),
         ),
     )
     return out * env["strength"]

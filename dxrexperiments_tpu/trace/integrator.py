@@ -226,12 +226,15 @@ def _ambient_occlusion(scene, options, position, normal, seed, active, impl):
 # and indirect cut off by MAX_RADIANCE_RAY_DEPTH
 # (ProgressiveRaytracing.hlsl:41-55 via shade() at depth 1).
 # --------------------------------------------------------------------------- #
-def _secondary_radiance(scene, options, origins, directions, seeds, active, mode: str, impl: str):
+def _secondary_radiance(
+    scene, options, origins, directions, seeds, active, mode: str, impl: str,
+    env_kind: int | None = None,
+):
     is_hit, position, normal, mat = _trace_closest(
         scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull=False, impl=impl
     )
     hit = is_hit & active
-    env_col = sample_environment(scene["env"], directions)
+    env_col = sample_environment(scene["env"], directions, env_kind)
 
     seed = seeds  # shade() re-seeds identically per invocation
     seed, direct = _direct_lighting(scene, options, position, normal, seed, hit, impl)
@@ -261,6 +264,7 @@ def trace_rays(
     mode: str = "progressive",
     ao_only: bool = False,
     impl: str = "auto",
+    env_kind: int | None = None,
 ) -> dict:
     """Trace one sample for a dense batch of primary rays.
 
@@ -277,7 +281,7 @@ def trace_rays(
     hit, position, normal, mat = _trace_closest(
         scene, origins, directions, 0.0, RAY_MAX_T, cull=True, impl=impl
     )
-    env_col = sample_environment(scene["env"], directions)
+    env_col = sample_environment(scene["env"], directions, env_kind)
 
     if ao_only:
         ao = _ambient_occlusion(scene, options, position, normal, seeds, hit, impl)
@@ -308,7 +312,7 @@ def trace_rays(
         )
         sample_dir = jnp.where(cosine, cos_dir, uni_dir)
         sec = _secondary_radiance(
-            scene, options, position, sample_dir, seeds, hit, mode, impl
+            scene, options, position, sample_dir, seeds, hit, mode, impl, env_kind
         )
         nol = vm.saturate(vm.dot(normal, sample_dir))
         # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
@@ -327,7 +331,7 @@ def trace_rays(
     mirror = vm.normalize(vm.reflect(directions, normal))
     seed, phong_dir, pdf, brdf = sampling.phong_lobe_sample(seed, mirror, exponent)
     spec_rad = _secondary_radiance(
-        scene, options, position, phong_dir, seeds, spec_active, mode, impl
+        scene, options, position, phong_dir, seeds, spec_active, mode, impl, env_kind
     )
     # brdf/pdf = (e+2)/(e+1) analytically; guard the 0/0 underflow that the
     # HLSL lets become NaN (then kills via max()).
@@ -385,9 +389,53 @@ def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(color), 0.0, jnp.maximum(color, 0.0))
 
 
+def make_render_step(
+    scene: dict,
+    width: int,
+    height: int,
+    mode: str = "progressive",
+    ao_only: bool = False,
+    jitter_scale: float = 30.0,
+    impl: str = "auto",
+):
+    """Compile a per-frame render step with the scene GEOMETRY baked in as
+    constants — the analogue of compiling an RTPSO for a scene
+    (/root/reference/libs/DXRFramework/RtState.cpp:18-65).
+
+    Why: passing the ~36-leaf scene pytree as jit arguments costs ~16 ms per
+    dispatch on the axon tunnel (measured), while camera/options/lights/env
+    arguments are free. Lights and env stay arguments so per-frame light
+    animation and UI edits don't recompile.
+
+    Returns jitted ``step(options, camera, lights, env) -> dict of images``.
+    """
+    geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
+    env_kind = int(scene["env"]["kind"])
+
+    @jax.jit
+    def step(options: dict, camera: dict, lights: dict, env: dict) -> dict:
+        full = dict(geo, lights=lights, env=env)
+        return render_sample(
+            full,
+            options,
+            camera,
+            width,
+            height,
+            mode=mode,
+            ao_only=ao_only,
+            jitter_scale=jitter_scale,
+            impl=impl,
+            env_kind=env_kind,
+        )
+
+    return step
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("mode", "ao_only", "width", "height", "jitter_scale", "impl"),
+    static_argnames=(
+        "mode", "ao_only", "width", "height", "jitter_scale", "impl", "env_kind",
+    ),
 )
 def render_sample(
     scene: dict,
@@ -399,6 +447,7 @@ def render_sample(
     ao_only: bool = False,
     jitter_scale: float = 30.0,
     impl: str = "auto",
+    env_kind: int | None = None,
 ) -> dict:
     """Render one sample for the full [H, W] grid; the jitted per-frame kernel.
 
@@ -412,7 +461,10 @@ def render_sample(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
     seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
-    out = trace_rays(scene, options, o, d, seeds, mode=mode, ao_only=ao_only, impl=impl)
+    out = trace_rays(
+        scene, options, o, d, seeds,
+        mode=mode, ao_only=ao_only, impl=impl, env_kind=env_kind,
+    )
     reshaped = {}
     for k, v in out.items():
         if v.ndim == 2:
