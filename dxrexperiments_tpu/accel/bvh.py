@@ -212,6 +212,101 @@ def build_bvh_device(v0, e1, e2, num_tris: int, leaf_size: int = 8) -> dict:
 
 
 # --------------------------------------------------------------------------- #
+# Explicit node-array format — the unified interchange consumed by traversal
+# kernels. Both builders emit it:
+#   nodes_lo/hi [M, 3] f32; child [M, 2] i32
+#     internal: child[m] = {left, right}
+#     leaf:     child[m] = {-(start+1), count}   (range into `order`)
+#   order [T] i32 (contiguous leaf runs)
+# --------------------------------------------------------------------------- #
+def to_node_arrays(bvh: dict) -> dict:
+    """Convert the implicit heap BVH to explicit node arrays (leaves become
+    ranges of `leaf_size` slots; empty padding slots are dropped per leaf)."""
+    levels, leaf_size = bvh["levels"], bvh["leaf_size"]
+    num_leaves = 1 << levels
+    num_nodes = 2 * num_leaves - 1
+    first_leaf = num_leaves - 1
+    order = bvh["order"]
+    child = np.zeros((num_nodes, 2), np.int32)
+    internal = np.arange(first_leaf)
+    child[internal, 0] = 2 * internal + 1
+    child[internal, 1] = 2 * internal + 2
+    leaf_ids = np.arange(num_leaves)
+    starts = leaf_ids * leaf_size
+    counts = np.minimum(
+        np.maximum((order >= 0).sum() - starts, 0), leaf_size
+    ).astype(np.int32)
+    child[first_leaf:, 0] = -(starts + 1)
+    child[first_leaf:, 1] = counts
+    return {
+        "nodes_lo": np.asarray(bvh["nodes_lo"], np.float32),
+        "nodes_hi": np.asarray(bvh["nodes_hi"], np.float32),
+        "child": child,
+        "order": np.asarray(order, np.int32),
+    }
+
+
+def build_bvh_sah(
+    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, num_tris: int, leaf_size: int = 8
+) -> dict | None:
+    """Maximum-quality binned-SAH build via the native C++ builder
+    (native/sah_bvh.cpp). Returns explicit node arrays, or None when the
+    native toolchain is unavailable (callers fall back to the Morton build).
+    """
+    from ..utils import native
+
+    res = native.build_sah_native(
+        np.asarray(v0, np.float32)[:num_tris],
+        np.asarray(e1, np.float32)[:num_tris],
+        np.asarray(e2, np.float32)[:num_tris],
+        leaf_size,
+    )
+    if res is None:
+        return None
+    nodes_lo, nodes_hi, child, order = res
+    return {
+        "nodes_lo": nodes_lo,
+        "nodes_hi": nodes_hi,
+        "child": child,
+        "order": order,
+    }
+
+
+def traverse_nodes_numpy(nodes: dict, tri_test, o, d, t_min, t_max) -> tuple:
+    """Scalar host traversal of explicit node arrays (correctness oracle)."""
+    inv_d = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)
+    best = (np.inf, -1)
+    if len(nodes["child"]) == 0:
+        return best
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        if not ray_aabb(
+            o,
+            inv_d,
+            nodes["nodes_lo"][node],
+            nodes["nodes_hi"][node],
+            t_min,
+            min(t_max, best[0]),
+        ):
+            continue
+        left, right = nodes["child"][node]
+        if left < 0:  # leaf
+            start, count = -left - 1, right
+            for s in range(start, start + count):
+                tri = nodes["order"][s]
+                if tri < 0:
+                    continue
+                t = tri_test(int(tri), o, d)
+                if t is not None and t_min < t < min(t_max, best[0]):
+                    best = (t, int(tri))
+        else:
+            stack.append(int(left))
+            stack.append(int(right))
+    return best
+
+
+# --------------------------------------------------------------------------- #
 # Reference traversal (NumPy; correctness oracle for kernels)
 # --------------------------------------------------------------------------- #
 def ray_aabb(o, inv_d, lo, hi, t_min, t_max):

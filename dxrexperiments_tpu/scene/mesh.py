@@ -132,10 +132,86 @@ def _parse_mtl(path: str) -> dict[str, Material]:
     return materials
 
 
-def load_obj(path: str) -> Mesh:
-    """Native OBJ loader: v/vn/f (v, v//vn, v/vt/vn), negative indices,
+def _finish_obj(
+    pos, nrm_arr, fp, fn, face_mat, mtl_lib, mat_order, path
+) -> Mesh:
+    """Shared tail of the Python/native OBJ paths: normal re-indexing or
+    generation, material list resolution."""
+    have_normals = len(nrm_arr) > 0 and (fn >= 0).all() and len(fp) > 0
+    if have_normals:
+        corner_pos = pos[fp.reshape(-1)]
+        corner_nrm = nrm_arr[fn.reshape(-1)]
+        key = np.concatenate([corner_pos, corner_nrm], axis=-1)
+        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
+        mesh_pos = uniq[:, :3].astype(np.float32)
+        mesh_nrm = uniq[:, 3:].astype(np.float32)
+        indices = inverse.astype(np.int32).reshape(-1, 3)
+    else:
+        mesh_pos = pos
+        mesh_nrm = compute_smooth_normals(pos, fp)
+        indices = fp
+    materials = [mtl_lib.get(nm, Material()) for nm in mat_order]
+    return Mesh(
+        mesh_pos,
+        mesh_nrm,
+        indices,
+        material_ids=np.asarray(face_mat, np.int32),
+        materials=materials,
+        name=os.path.basename(path),
+    )
+
+
+def _scan_obj_materials(path: str) -> tuple[dict, list[str]]:
+    """Collect mtllib/usemtl declarations without parsing geometry (used by
+    the native fast path, whose material ids follow usemtl order)."""
+    mtl_lib: dict[str, Material] = {}
+    mat_order: list[str] = []
+    with open(path, "rb") as f:
+        data = f.read()
+    for tag in (b"mtllib ", b"usemtl "):
+        start = 0
+        while True:
+            i = data.find(tag, start)
+            if i < 0:
+                break
+            # only at line starts
+            if i > 0 and data[i - 1 : i] not in (b"\n", b"\r"):
+                start = i + 1
+                continue
+            j = data.find(b"\n", i)
+            arg = data[i + 7 : j if j > 0 else None].decode(errors="replace").strip()
+            if tag == b"mtllib ":
+                mtl_lib.update(
+                    _parse_mtl(os.path.join(os.path.dirname(path), arg))
+                )
+            elif arg not in mat_order:
+                mat_order.append(arg)
+            start = i + 1
+    return mtl_lib, mat_order
+
+
+def load_obj(path: str, use_native: bool = True) -> Mesh:
+    """OBJ loader: v/vn/f (v, v//vn, v/vt/vn), negative indices,
     usemtl/mtllib. Faces are fan-triangulated (aiProcess_Triangulate
-    equivalent)."""
+    equivalent). Uses the C++ fast parser (native/mesh_io.cpp) when the
+    toolchain is available; this Python parser is the reference fallback."""
+    if use_native:
+        try:
+            from ..utils.native import parse_obj_native
+
+            res = parse_obj_native(path)
+        except Exception:
+            res = None
+        if res is not None:
+            pos, nrm_arr, fp, fn, face_mat = res
+            if len(fp) == 0:
+                return fallback_triangle()
+            mtl_lib, mat_order = _scan_obj_materials(path)
+            return _finish_obj(pos, nrm_arr, fp, fn, face_mat, mtl_lib, mat_order, path)
+    return _load_obj_python(path)
+
+
+def _load_obj_python(path: str) -> Mesh:
     positions: list[tuple] = []
     normals: list[tuple] = []
     face_pos: list[list[int]] = []
@@ -183,35 +259,15 @@ def load_obj(path: str) -> Mesh:
     if not face_pos:
         return fallback_triangle()
 
-    pos = np.asarray(positions, np.float32)
-    fp = np.asarray(face_pos, np.int32)
-    fn = np.asarray(face_nrm, np.int32)
-
-    have_normals = len(normals) > 0 and (fn >= 0).all()
-    if have_normals:
-        # Re-index: a vertex may pair with different normals per face, so
-        # emit unindexed corners then weld identical (pos, nrm) pairs.
-        nrm = np.asarray(normals, np.float32)
-        corner_pos = pos[fp.reshape(-1)]
-        corner_nrm = nrm[fn.reshape(-1)]
-        key = np.concatenate([corner_pos, corner_nrm], axis=-1)
-        uniq, inverse = np.unique(key, axis=0, return_inverse=True)
-        mesh_pos = uniq[:, :3].astype(np.float32)
-        mesh_nrm = uniq[:, 3:].astype(np.float32)
-        indices = inverse.astype(np.int32).reshape(-1, 3)
-    else:
-        mesh_pos = pos
-        mesh_nrm = compute_smooth_normals(pos, fp)
-        indices = fp
-
-    materials = [mtl_lib.get(nm, Material()) for nm in mat_order]
-    return Mesh(
-        mesh_pos,
-        mesh_nrm,
-        indices,
-        material_ids=np.asarray(face_mat, np.int32),
-        materials=materials,
-        name=os.path.basename(path),
+    return _finish_obj(
+        np.asarray(positions, np.float32),
+        np.asarray(normals, np.float32).reshape(-1, 3),
+        np.asarray(face_pos, np.int32),
+        np.asarray(face_nrm, np.int32),
+        np.asarray(face_mat, np.int32),
+        mtl_lib,
+        mat_order,
+        path,
     )
 
 
