@@ -36,6 +36,53 @@ import jax.numpy as jnp
 def build_scene(name: str) -> tuple[Scene, Camera]:
     cam = Camera()
     sc = Scene()
+    if name.startswith("soup:"):
+        # N random triangles — BVH stress scene (BASELINE config 5 scale).
+        from ..scene.procedural import random_triangle_soup
+
+        n = int(name.split(":", 1)[1])
+        sc.add_model(random_triangle_soup(n, seed=0, extent=10.0))
+        sc.lights = default_lights()
+        sc.environment = envmap.gradient_env()
+        cam.set_eye_at_up((25.0, 18.0, 25.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+        return sc, cam
+    if name.startswith("instanced:"):
+        # K x K grid of sphere instances (~1k tris each) with per-instance
+        # transforms and alternating materials — the instancing config.
+        from ..scene.procedural import sphere_mesh
+
+        k = int(name.split(":", 1)[1])
+        base = sphere_mesh((0.0, 0.0, 0.0), 1.0, lat=16, lon=32)
+        glossy = sc.add_material(Material.reference_default())
+        white = sc.add_material(Material(albedo=(0.73, 0.73, 0.73, 1.0)))
+        for i in range(k):
+            for j in range(k):
+                t = np.eye(4, dtype=np.float32)
+                t[0, 3] = (i - k / 2) * 2.5
+                t[2, 3] = (j - k / 2) * 2.5
+                t[1, 3] = 1.0
+                sc.add_model(base, transform=t, material=glossy if (i + j) % 2 else white)
+        floor_ext = k * 2.5
+        from ..scene.mesh import Mesh
+
+        floor = Mesh(
+            np.array(
+                [[-floor_ext, 0, -floor_ext], [-floor_ext, 0, floor_ext],
+                 [floor_ext, 0, floor_ext], [floor_ext, 0, -floor_ext]],
+                np.float32,
+            ),
+            None,
+            np.array([[0, 1, 2], [0, 2, 3]], np.int32),
+        )
+        sc.add_model(floor, material=white)
+        sc.lights = default_lights()
+        sc.environment = envmap.gradient_env()
+        cam.set_eye_at_up(
+            (floor_ext * 0.9, floor_ext * 0.5, floor_ext * 0.9),
+            (0.0, 1.0, 0.0),
+            (0.0, 1.0, 0.0),
+        )
+        return sc, cam
     if name in ("cornell", "cornell-glossy"):
         mesh, materials = cornell_box(glossy_tall_box=(name == "cornell-glossy"))
         for m in materials:

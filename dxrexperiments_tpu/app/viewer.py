@@ -1,0 +1,313 @@
+"""Interactive terminal viewer: fly camera + live parameter surface.
+
+TPU-native replacement for the reference's interactive shell — Win32 window
++ message pump (/root/reference/src/utils/Win32Application.cpp), DirectInput
+polling (libs/MiniEngine/GameInput.cpp), imgui parameter panels
+(src/ProgressiveRaytracingPipeline.cpp:249-312) and the fps/MRays title bar
+(src/utils/DXSample.cpp:100-123).
+
+The "swapchain" is the terminal: frames are drawn with 24-bit ANSI
+half-blocks (two pixels per character cell), input is raw-mode keyboard
+polling. Works over ssh, no GUI stack required; for screenshots press 'p'.
+
+Keys:
+  w/a/s/d/q/e  move      i/j/k/l   look        space  reset accumulation
+  [ / ]        switch pipeline (progressive <-> realtime+denoise)
+  1..7         AOV debug view (off, albedo, direct, ind-diffuse,
+               ind-specular, fresnel, AO)
+  c            toggle cosine hemisphere sampling
+  g            cycle debug int (0/1/2 light-MC)
+  - / +        environment strength
+  p            save PNG screenshot   x  quit
+"""
+
+from __future__ import annotations
+
+import os
+import select
+import sys
+import termios
+import time
+import tty
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.camera import Camera
+from ..core.camera_controller import CameraController, InputState
+from ..core.timer import StepTimer
+from ..models.denoise import DenoiseCompositor, linear_to_srgb, reinhard_tonemap
+from ..models.progressive import ProgressiveRaytracingPipeline
+from ..models.realtime import RealtimeRaytracingPipeline
+from ..utils.image import write_png
+from ..utils.stats import FrameStats
+from .headless import build_scene
+
+AOV_KEYS = {
+    "2": "show_gbuffer_albedo_only",
+    "3": "show_direct_lighting_only",
+    "4": "show_indirect_diffuse_only",
+    "5": "show_indirect_specular_only",
+    "6": "show_fresnel_term",
+}
+
+
+class TerminalDisplay:
+    """ANSI half-block framebuffer presenter (the swapchain/blit analogue,
+    cf. BlitToBackbuffer /root/reference/src/DXRExperimentsApp.cpp:273-285)."""
+
+    def __init__(self, out=sys.stdout):
+        self.out = out
+
+    def size(self) -> tuple[int, int]:
+        try:
+            c = os.get_terminal_size()
+            return max(c.columns - 2, 16), max((c.lines - 4) * 2, 16)
+        except OSError:
+            return 80, 44
+
+    def present(self, img: np.ndarray, hud: str) -> None:
+        """img: [H, W, 3] float 0..1, H even."""
+        q = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        top = q[0::2]
+        bottom = q[1::2]
+        lines = []
+        for t_row, b_row in zip(top, bottom):
+            cells = [
+                f"\x1b[38;2;{tr[0]};{tr[1]};{tr[2]}m\x1b[48;2;{br[0]};{br[1]};{br[2]}m▀"
+                for tr, br in zip(t_row, b_row)
+            ]
+            lines.append("".join(cells) + "\x1b[0m")
+        frame = "\x1b[H" + "\n".join(lines) + "\x1b[0m\n" + hud + "\x1b[K"
+        self.out.write(frame)
+        self.out.flush()
+
+
+class RawKeyboard:
+    """Non-blocking raw-mode key polling (GameInput analogue)."""
+
+    def __init__(self):
+        self.enabled = sys.stdin.isatty()
+        self._old = None
+
+    def __enter__(self):
+        if self.enabled:
+            self._old = termios.tcgetattr(sys.stdin)
+            tty.setcbreak(sys.stdin.fileno())
+        return self
+
+    def __exit__(self, *exc):
+        if self._old is not None:
+            termios.tcsetattr(sys.stdin, termios.TCSADRAIN, self._old)
+
+    def poll(self) -> list[str]:
+        keys = []
+        if not self.enabled:
+            return keys
+        while select.select([sys.stdin], [], [], 0)[0]:
+            keys.append(sys.stdin.read(1))
+        return keys
+
+
+class ViewerApp:
+    """The app orchestrator (DXRExperimentsApp analogue)."""
+
+    def __init__(self, scene_name="cornell-glossy", width=128, height=96):
+        self.scene, self.camera = build_scene(scene_name)
+        self.camera.set_aspect(width, height)
+        self.width, self.height = width, height
+        self.controller = CameraController(self.camera)
+        self.timer = StepTimer()
+        self.stats = FrameStats(width, height)
+        self.pipelines = [
+            ProgressiveRaytracingPipeline(width, height, seed=0),
+            RealtimeRaytracingPipeline(width, height, seed=0),
+        ]
+        for p in self.pipelines:
+            p.set_camera(self.camera)
+            p.set_scene(self.scene)
+        self.active = 0
+        self.denoiser = DenoiseCompositor()
+        self.env_strength = 1.0
+        self.aov = None
+        self.ao_only = False
+        self.screenshot_counter = 0
+        self.message = ""
+
+    @property
+    def pipeline(self):
+        return self.pipelines[self.active]
+
+    def handle_keys(self, keys: list[str]) -> tuple[InputState, bool]:
+        inp = InputState()
+        quit_requested = False
+        pipe = self.pipeline
+        for k in keys:
+            if k == "x":
+                quit_requested = True
+            elif k == "w":
+                inp.forward = True
+            elif k == "s":
+                inp.backward = True
+            elif k == "a":
+                inp.strafe_left = True
+            elif k == "d":
+                inp.strafe_right = True
+            elif k == "e":
+                inp.ascend = True
+            elif k == "q":
+                inp.descend = True
+            elif k == "j":
+                inp.analog_yaw = -0.6
+            elif k == "l":
+                inp.analog_yaw = 0.6
+            elif k == "i":
+                inp.analog_pitch = 0.35
+            elif k == "k":
+                inp.analog_pitch = -0.35
+            elif k in "[]":
+                self.active = (self.active + (1 if k == "]" else -1)) % len(
+                    self.pipelines
+                )
+                self.message = f"pipeline: {self.pipeline.name}"
+            elif k == " ":
+                if hasattr(pipe, "mark_dirty"):
+                    pipe.mark_dirty()
+            elif k == "1":
+                self.aov = None
+                self.ao_only = False
+                self._apply_aov()
+            elif k in AOV_KEYS:
+                self.aov = AOV_KEYS[k]
+                self.ao_only = False
+                self._apply_aov()
+            elif k == "7":
+                self.ao_only = True
+                self.aov = None
+                self._apply_aov()
+            elif k == "c":
+                cur = bool(pipe.options["cosine_hemisphere_sampling"])
+                pipe.options["cosine_hemisphere_sampling"] = jnp.asarray(not cur)
+                self._dirty()
+                self.message = f"cosine sampling: {not cur}"
+            elif k == "g":
+                cur = int(pipe.options["debug"])
+                pipe.options["debug"] = jnp.asarray((cur + 1) % 3, jnp.int32)
+                self._dirty()
+                self.message = f"debug mode: {(cur + 1) % 3}"
+            elif k in "-_":
+                self._env_scale(1.0 / 1.25)
+            elif k in "+=":
+                self._env_scale(1.25)
+            elif k == "p":
+                self.screenshot_counter += 1
+                path = f"screenshot_{self.screenshot_counter:03d}.png"
+                write_png(path, self._display_image())
+                self.message = f"saved {path}"
+        return inp, quit_requested
+
+    def _dirty(self):
+        for p in self.pipelines:
+            if hasattr(p, "mark_dirty"):
+                p.mark_dirty()
+
+    def _env_scale(self, f):
+        self.env_strength *= f
+        for p in self.pipelines:
+            env = dict(p.scene_data["env"])
+            env["strength"] = jnp.asarray(self.env_strength, jnp.float32)
+            p.scene_data = dict(p.scene_data, env=env)
+        self._dirty()
+        self.message = f"env strength: {self.env_strength:.2f}"
+
+    def _apply_aov(self):
+        for p in self.pipelines:
+            for key in AOV_KEYS.values():
+                p.options[key] = jnp.asarray(key == self.aov)
+            if hasattr(p, "ao_only"):
+                p.ao_only = self.ao_only
+        self._dirty()
+        self.message = f"view: {self.aov or ('AO' if self.ao_only else 'beauty')}"
+
+    def step(self, inp: InputState) -> np.ndarray:
+        self.timer.tick()
+        dt = max(self.timer.elapsed_seconds, 1e-4)
+        self.controller.update(dt, inp)
+        pipe = self.pipeline
+        pipe.update(
+            elapsed_time=self.timer.total_seconds,
+            elapsed_frames=self.timer.frame_count,
+        )
+        pipe.render()
+        self.stats.frame()
+        return self._display_image()
+
+    def _display_image(self) -> np.ndarray:
+        pipe = self.pipeline
+        if isinstance(pipe, RealtimeRaytracingPipeline):
+            img = self.denoiser.dispatch(pipe.direct, pipe.indirect_specular)
+        else:
+            img = linear_to_srgb(
+                reinhard_tonemap(pipe.get_output()), jnp.asarray(2.2)
+            )
+        return np.clip(np.asarray(img), 0.0, 1.0)
+
+    def hud(self) -> str:
+        pipe = self.pipeline
+        prog = ""
+        if isinstance(pipe, ProgressiveRaytracingPipeline):
+            frac = min(pipe.accum_count / max(pipe.max_iterations, 1), 1.0)
+            bar = "#" * int(frac * 20)
+            prog = f" [{bar:<20}] {pipe.accum_count}"
+        return (
+            f"{self.stats.title()} | {pipe.name}{prog} | {self.message}   "
+            "(wasdqe move, ijkl look, 1-7 views, x quit)"
+        )
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scene", default="cornell-glossy")
+    ap.add_argument("--size", default=None, help="WxH render size (default: fit terminal)")
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--max-frames", type=int, default=0, help="exit after N frames (0 = run until 'x')")
+    ap.add_argument("--script", default=None, help="scripted key sequence (for testing), e.g. 'wwwd p x'")
+    args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    display = TerminalDisplay()
+    if args.size:
+        width, height = (int(x) for x in args.size.lower().split("x"))
+    else:
+        width, height = display.size()
+        width, height = min(width, 200), min(height - height % 2, 140)
+
+    app = ViewerApp(args.scene, width, height)
+    scripted = list(args.script.replace(" ", "")) if args.script else None
+
+    sys.stdout.write("\x1b[2J")  # clear
+    frames = 0
+    with RawKeyboard() as kb:
+        while True:
+            keys = kb.poll() if scripted is None else ([scripted.pop(0)] if scripted else ["x"])
+            inp, quit_requested = app.handle_keys(keys)
+            if quit_requested:
+                break
+            img = app.step(inp)
+            display.present(img, app.hud())
+            frames += 1
+            if args.max_frames and frames >= args.max_frames:
+                break
+    sys.stdout.write("\n")
+    print(f"viewer exited after {frames} frames; {app.stats.title()}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,12 +74,13 @@ def make_progressive_step(scene: dict, width: int, height: int, ao_only: bool = 
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
     ``step(accum, options, camera, lights, env, max_iterations)``."""
+    from ..trace.integrator import GEO_CONST_LIMIT_BYTES, _geo_bytes
+
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
 
-    @jax.jit
-    def step(accum, options, camera, lights, env, max_iterations):
-        full = dict(geo, lights=lights, env=env)
+    def _step_impl(accum, options, camera, lights, env, max_iterations, geo_in):
+        full = dict(geo_in, lights=lights, env=env)
 
         def converged(_):
             return accum
@@ -105,6 +106,22 @@ def make_progressive_step(scene: dict, width: int, height: int, ao_only: bool = 
             sample,
             None,
         )
+
+    if _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+        @jax.jit
+        def step(accum, options, camera, lights, env, max_iterations):
+            return _step_impl(
+                accum, options, camera, lights, env, max_iterations, geo
+            )
+
+        return step
+
+    # Large scene: geometry as runtime args (constants blow the compile
+    # payload; see trace.integrator.make_render_step).
+    inner = jax.jit(_step_impl)
+
+    def step(accum, options, camera, lights, env, max_iterations):
+        return inner(accum, options, camera, lights, env, max_iterations, geo)
 
     return step
 

@@ -91,6 +91,15 @@ def _valid_mask(det, u_d, v_d, t_d, t_min, t_max, cull_backface: bool):
     )
 
 
+def _fit_chunk(t_total: int, desired: int = DEFAULT_CHUNK) -> int:
+    """Largest 128-multiple chunk <= desired that divides the (128-aligned)
+    padded triangle count."""
+    c = min(desired, t_total)
+    while c > 128 and t_total % c != 0:
+        c //= 2
+    return max(c, 128) if t_total % max(c, 128) == 0 else 128
+
+
 def _slice_tris(scene: dict, start: int, size: int) -> dict:
     return {
         k: jax.lax.dynamic_slice_in_dim(scene[k], start, size, axis=0)
@@ -116,8 +125,7 @@ def intersect_closest(
     """
     R = origins.shape[0]
     T = scene["v0"].shape[0]
-    chunk = min(chunk, T)
-    assert T % chunk == 0, (T, chunk)
+    chunk = _fit_chunk(T, chunk)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     moments = vm.cross(origins, directions)
@@ -184,8 +192,7 @@ def intersect_any(
     """
     R = origins.shape[0]
     T = scene["v0"].shape[0]
-    chunk = min(chunk, T)
-    assert T % chunk == 0, (T, chunk)
+    chunk = _fit_chunk(T, chunk)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     moments = vm.cross(origins, directions)

@@ -1,0 +1,383 @@
+"""Pallas BVH packet traversal — scalable ray tracing for large scenes.
+
+The TPU re-expression of the Fallback Layer's BVH traversal compute shaders
+(the closed-source core of /root/reference/externals/D3D12RaytracingFallback).
+Where GPUs traverse per-thread with divergent stacks, the TPU-native shape is
+PACKET traversal: one shared stack per tile of rays (scalar control flow in
+SMEM), vectorized ray-AABB slab tests across the tile's lanes, and fixed-size
+leaf batches tested with the same Plücker pair math as ops/intersect_pallas.
+
+Memory plan:
+  * node arrays [8, M] (lo3/hi3/left/right as f32) live in VMEM — ~4 MB for
+    a million triangles at leaf_size 16,
+  * triangle data (mt_pack/attr rows, Morton- or SAH-sorted so leaves are
+    contiguous) stays in HBM; each visited leaf DMAs a [4, K, 16] slice into
+    VMEM scratch,
+  * the running best hit lives in the output block.
+
+The kernel returns (t, slot, u, v, hit); attribute interpolation happens
+outside (slot -> original triangle via the `order` permutation). Leaves are
+regularized to a fixed K slots by ``pack_for_traversal`` so the DMA shape is
+static — SAH trees with variable leaf sizes get padded slots (degenerate
+triangles self-mask).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_R = 2048  # packet size; larger wins (scalar loop overhead >> union growth)
+BIG = 3.0e38
+MAX_STACK = 96  # depth bound: 2*levels+2; 96 covers trees to ~2^47 leaves
+
+
+def pack_for_traversal(nodes: dict, scene: dict, leaf_size: int = 16) -> dict:
+    """Regularize a node-array BVH (accel/bvh.py format) + scene packs into
+    kernel-ready arrays:
+
+      bvh_nodes [8, M_pad] f32: rows lo_xyz, hi_xyz, left, right
+        internal: left/right = child node ids (as exact floats)
+        leaf:     left = -(slot_start+1), right = count
+      mt_sorted [4, S, 16], attr_sorted [32, S]: triangle packs re-ordered
+        into fixed-K leaf slots (S = n_leaves * K, padded slots degenerate)
+      slot_tri [S] i32: slot -> original triangle index (-1 for padding)
+    """
+    child = np.asarray(nodes["child"], np.int64)
+    order = np.asarray(nodes["order"], np.int64)
+    m = len(child)
+    leaf_mask = child[:, 0] < 0
+    leaf_ids = np.nonzero(leaf_mask)[0]
+    n_leaves = len(leaf_ids)
+
+    slot_tri = np.full((max(n_leaves, 1) * leaf_size,), -1, np.int64)
+    new_child = child.copy()
+    for slot_leaf, node_id in enumerate(leaf_ids):
+        start = -child[node_id, 0] - 1
+        count = min(child[node_id, 1], leaf_size)
+        dst = slot_leaf * leaf_size
+        tris = order[start : start + count]
+        tris = tris[tris >= 0]
+        slot_tri[dst : dst + len(tris)] = tris
+        new_child[node_id, 0] = -(dst + 1)
+        new_child[node_id, 1] = len(tris)
+
+    s = len(slot_tri)
+    s_pad = max(-(-s // 128) * 128, 128)
+    mt = np.asarray(scene["mt_pack"])  # [4, T, 16]
+    attr = np.asarray(scene["attr_pack"])  # [32, T]
+    mt_sorted = np.zeros((4, s_pad, 16), np.float32)
+    attr_sorted = np.zeros((32, s_pad), np.float32)
+    valid = slot_tri >= 0
+    src = np.where(valid, slot_tri, 0)
+    mt_sorted[:, :s][:, valid] = mt[:, src][:, valid]
+    attr_sorted[:, :s][:, valid] = attr[:, src][:, valid]
+    # Kernel layout [S, 128]: slot-major rows with the 64 coefficients
+    # (4 groups x 16) on lanes (padded to 128). A leaf's [K, 128] DMA slice
+    # is sublane-aligned (K and slot starts are multiples of 8) and the
+    # kernel reads coefficient columns at static lane indices.
+    mt_rows = np.zeros((s_pad, 128), np.float32)
+    mt_rows[:, :64] = np.transpose(mt_sorted, (1, 0, 2)).reshape(s_pad, 64)
+
+    m_pad = max(-(-m // 128) * 128, 128)
+    bvh_nodes = np.zeros((8, m_pad), np.float32)
+    bvh_nodes[0:3, :m] = np.asarray(nodes["nodes_lo"], np.float32).T
+    bvh_nodes[3:6, :m] = np.asarray(nodes["nodes_hi"], np.float32).T
+    bvh_nodes[6, :m] = new_child[:, 0].astype(np.float32)
+    bvh_nodes[7, :m] = new_child[:, 1].astype(np.float32)
+
+    slot_tri_pad = np.full((s_pad,), -1, np.int32)
+    slot_tri_pad[:s] = slot_tri.astype(np.int32)
+
+    return {
+        "bvh_nodes": jnp.asarray(bvh_nodes),
+        "mt_rows": jnp.asarray(mt_rows),
+        "attr_sorted": jnp.asarray(attr_sorted),
+        "slot_tri": jnp.asarray(slot_tri_pad),
+        "leaf_size": leaf_size,
+    }
+
+
+def _leaf_pair_test(mt_scratch, o, d, m, tmin, tmax, cull: bool, count, K: int):
+    """Plücker pair test of a [K, TILE] block from a DMA'd leaf slice.
+
+    mt_scratch: [K, 128] VMEM scratch ref (slot-major rows, coefficient
+    c of group g at lane g*16+c); o/d/m: 3 rows each [1, TILE]. Returns
+    (valid, ts, det_abs, us, vs) with rows >= count masked off."""
+
+    def col(g, k):
+        return mt_scratch[:, g * 16 + k][:, None]  # [K, 1]
+
+    det = d[0] * col(0, 0) + d[1] * col(0, 1) + d[2] * col(0, 2)
+    u_d = (
+        d[0] * col(1, 0) + d[1] * col(1, 1) + d[2] * col(1, 2)
+        + m[0] * col(1, 3) + m[1] * col(1, 4) + m[2] * col(1, 5)
+    )
+    v_d = (
+        d[0] * col(2, 0) + d[1] * col(2, 1) + d[2] * col(2, 2)
+        + m[0] * col(2, 3) + m[1] * col(2, 4) + m[2] * col(2, 5)
+    )
+    t_d = o[0] * col(3, 6) + o[1] * col(3, 7) + o[2] * col(3, 8) + col(3, 9)
+
+    s = jnp.sign(det)
+    det_abs = det * s
+    us = u_d * s
+    vs = v_d * s
+    ts = t_d * s
+    eps = jnp.float32(1e-12)
+    alive = (det > eps) if cull else (det_abs > eps)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, det.shape, 0)
+    valid = (
+        alive
+        & (us >= 0.0)
+        & (vs >= 0.0)
+        & (us + vs <= det_abs)
+        & (ts > tmin[None, :] * det_abs)
+        & (ts < tmax[None, :] * det_abs)
+        & (row_ids < count)
+    )
+    return valid, ts, det_abs, us, vs
+
+
+def _node_fields(nodes_ref, node):
+    """Extract the 8 node fields at a dynamic index from the [8, M] VMEM
+    array. Mosaic requires lane-aligned vector loads, so load the 128-wide
+    block containing the node and reduce out the wanted lane."""
+    blk = pl.multiple_of((node // 128) * 128, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    sel = lane == (node - blk)
+    block = nodes_ref[:, pl.ds(blk, 128)]  # [8, 128]
+    vals = jnp.sum(jnp.where(sel, block, 0.0), axis=1)  # [8]
+    return [vals[k] for k in range(8)]
+
+
+def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
+    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, mt_scratch, sem):
+        o = [rays_ref[k, :][None, :] for k in range(3)]
+        d = [rays_ref[3 + k, :][None, :] for k in range(3)]
+        mom = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+        tmin = rays_ref[6, :]
+        tmax = rays_ref[7, :]
+        inv = [
+            1.0 / jnp.where(jnp.abs(d[k]) > 1e-12, d[k], 1e-12) for k in range(3)
+        ]
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        out_ref[0, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        stack_ref[0] = 0
+
+        def cond(carry):
+            sp, done = carry
+            return (sp > 0) & ~done
+
+        def body(carry):
+            sp, _ = carry
+            node = stack_ref[sp - 1]
+            fields = _node_fields(nodes_ref, node)
+            lo = fields[0:3]
+            hi = fields[3:6]
+            left = fields[6]
+            right = fields[7]
+
+            best_t = out_ref[0, :]
+            t0s = [(lo[k] - o[k]) * inv[k] for k in range(3)]
+            t1s = [(hi[k] - o[k]) * inv[k] for k in range(3)]
+            tn = tmin[None, :]
+            tf = jnp.minimum(tmax, best_t)[None, :]
+            for k in range(3):
+                tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+            if occlusion:
+                # prune rays already occluded (their work is done)
+                tf = jnp.where(out_ref[4, :][None, :] > 0.5, -BIG, tf)
+            node_hit = jnp.any(tn <= tf)
+            is_leaf = left < 0.0
+
+            sp = sp - 1
+
+            @pl.when(node_hit & is_leaf)
+            def _leaf():
+                start = (-left - 1.0).astype(jnp.int32)
+                count = right.astype(jnp.int32)
+                row_start = pl.multiple_of(start, 8)
+                cp = pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(row_start, K), :], mt_scratch, sem
+                )
+                cp.start()
+                cp.wait()
+                valid, ts, det_abs, us, vs = _leaf_pair_test(
+                    mt_scratch, o, d, mom, tmin, tmax, cull, count, K
+                )
+                if occlusion:
+                    occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                    out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
+                else:
+                    eps = jnp.float32(1e-12)
+                    t_pair = jnp.where(
+                        valid, ts / jnp.maximum(det_abs, eps), BIG
+                    )
+                    c_t = jnp.min(t_pair, axis=0)
+                    rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+                    c_row = jnp.min(
+                        jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                        axis=0,
+                    )
+                    sel = (rows == c_row[None, :]).astype(jnp.float32)
+                    inv_det = 1.0 / jnp.maximum(
+                        jnp.sum(det_abs * sel, axis=0), 1e-12
+                    )
+                    c_u = jnp.sum(us * sel, axis=0) * inv_det
+                    c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                    c_slot = (c_row + start).astype(jnp.float32)
+                    better = c_t < out_ref[0, :]
+                    out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
+                    out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
+                    out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
+                    out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+
+            push = node_hit & ~is_leaf
+
+            @pl.when(push)
+            def _push():
+                stack_ref[sp] = left.astype(jnp.int32)
+                stack_ref[sp + 1] = right.astype(jnp.int32)
+
+            new_sp = sp + jnp.where(push, 2, 0)
+            if occlusion:
+                # early exit once every real ray is occluded (padding rays
+                # are marked occluded up-front so they don't block this)
+                done = jnp.min(out_ref[4, :]) > 0.5
+            else:
+                done = jnp.bool_(False)
+            return new_sp, done
+
+        if occlusion:
+            # pre-mark padded dead rays (d == 0) as occluded for early exit
+            dead = (
+                (jnp.abs(rays_ref[3, :]) + jnp.abs(rays_ref[4, :]) + jnp.abs(rays_ref[5, :]))
+                < 1e-30
+            )
+            out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
+
+        jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
+
+        if occlusion:
+            # strip the padding marker
+            out_ref[4, :] = jnp.where(out_ref[4, :] > 1.5, 0.0, out_ref[4, :])
+
+        # finalize hit flag for closest mode
+        if not occlusion:
+            t = out_ref[0, :]
+            hit = t < BIG
+            out_ref[0, :] = jnp.where(hit, t, -1.0)
+            out_ref[4, :] = hit.astype(jnp.float32)
+
+    return kernel
+
+
+def _pack_rays(origins, directions, t_min, t_max):
+    r = origins.shape[0]
+    r_pad = -(-r // TILE_R) * TILE_R
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    rays = jnp.concatenate(
+        [origins.T, directions.T, t_min[None], t_max[None]], axis=0
+    )
+    return jnp.pad(rays, ((0, 0), (0, r_pad - r))), r_pad
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "cull_backface", "interpret")
+)
+def traverse_closest(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    cull_backface: bool = False,
+    interpret: bool = False,
+) -> dict:
+    """Closest hit via packet BVH traversal.
+
+    Returns {"hit" [R], "t" [R], "tri" [R] (original indices), "u", "v"}.
+    """
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    out = pl.pallas_call(
+        _make_traverse_kernel(leaf_size, cull_backface, occlusion=False),
+        grid=(r_pad // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes, whole array
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.VMEM((leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rays, bvh["bvh_nodes"], bvh["mt_rows"])
+
+    out = out[:, :r]
+    hit = out[4] > 0.5
+    slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)
+    tri = jnp.where(hit, bvh["slot_tri"][slot], -1)
+    return {
+        "hit": hit,
+        "t": out[0],
+        "tri": tri,
+        "slot": jnp.where(hit, slot, -1),
+        "u": jnp.where(hit, out[2], 0.0),
+        "v": jnp.where(hit, out[3], 0.0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+def traverse_any(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Occlusion via packet BVH traversal with all-occluded early exit."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    out = pl.pallas_call(
+        _make_traverse_kernel(leaf_size, False, occlusion=True),
+        grid=(r_pad // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.VMEM((leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(rays, bvh["bvh_nodes"], bvh["mt_rows"])
+    return out[4, :r] > 0.5

@@ -50,6 +50,10 @@ class Instance:
     material_override: int | None = None  # global material index for all faces
 
 
+BVH_THRESHOLD = 4096  # above this triangle count, build + attach a BVH
+BVH_LEAF_SIZE = 32  # fixed leaf size consumed by the traversal kernel (swept on v5e)
+
+
 class Scene:
     """Host-side scene graph; ``build()`` lowers to the device pytree."""
 
@@ -90,9 +94,15 @@ class Scene:
         return len(self.instances)
 
     # -- lowering ---------------------------------------------------------- #
-    def build(self) -> dict[str, Any]:
+    def build(self, accel: str = "auto") -> dict[str, Any]:
         """Flatten all instances into world space and precompute intersection
-        terms. Returns the SceneData pytree (all jnp arrays)."""
+        terms. Returns the SceneData pytree (all jnp arrays).
+
+        accel: 'auto' attaches a BVH (native SAH if available, else the
+        Morton build) when the scene exceeds BVH_THRESHOLD triangles — the
+        analogue of the reference's BLAS/TLAS build step
+        (/root/reference/libs/DXRFramework/RtScene.cpp:18-52); 'bvh' forces
+        it; 'none' keeps the brute-force-only scene."""
         v0s, e1s, e2s = [], [], []
         n0s, n1s, n2s = [], [], []
         mat_ids = []
@@ -221,7 +231,7 @@ class Scene:
         attr[22] = mat_np["ior"][mid]
         attr[23] = mat_np["type"][mid].astype(np.float32)
 
-        return {
+        scene_dict = {
             "mt_pack": jnp.asarray(mt_pack),
             "attr_pack": jnp.asarray(attr),
             "v0": jnp.asarray(v0),
@@ -241,3 +251,20 @@ class Scene:
             "lights": lights,
             "env": env,
         }
+
+        want_bvh = accel == "bvh" or (accel == "auto" and num_tris > BVH_THRESHOLD)
+        if want_bvh and num_tris > 0:
+            from ..accel import bvh as bvh_mod
+            from ..ops.traverse_pallas import pack_for_traversal
+
+            nodes = bvh_mod.build_bvh_sah(v0, e1, e2, num_tris, BVH_LEAF_SIZE)
+            if nodes is None:  # no native toolchain -> Morton build
+                nodes = bvh_mod.to_node_arrays(
+                    bvh_mod.build_bvh(v0, e1, e2, num_tris, BVH_LEAF_SIZE)
+                )
+            packed = pack_for_traversal(nodes, scene_dict, BVH_LEAF_SIZE)
+            packed.pop("leaf_size")  # fixed BVH_LEAF_SIZE; pytree stays arrays
+            packed.pop("attr_sorted")  # attrs fetched via original-index gathers
+            scene_dict["bvh"] = packed
+
+        return scene_dict

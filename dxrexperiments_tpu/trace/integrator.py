@@ -36,6 +36,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng
 from ..core import vecmath as vm
@@ -85,6 +86,23 @@ def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
     jnp path interpolates/gathers after the hit.
     """
     impl = resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
+        # Large scene: packet BVH traversal + gather-based attribute fetch.
+        from ..ops import traverse_pallas
+        from ..scene.scene import BVH_LEAF_SIZE
+
+        hits = traverse_pallas.traverse_closest(
+            scene["bvh"],
+            origins,
+            directions,
+            t_min,
+            t_max,
+            leaf_size=BVH_LEAF_SIZE,
+            cull_backface=cull,
+            interpret=(impl == "pallas_interpret"),
+        )
+        position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
+        return hits["hit"], position, normal, mat
     if impl in ("pallas", "pallas_interpret"):
         h = intersect_pallas.trace_closest(
             scene,
@@ -115,6 +133,19 @@ def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
 
 def _trace_any(scene, origins, directions, t_min, t_max, impl: str):
     impl = resolve_impl(impl)
+    if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
+        from ..ops import traverse_pallas
+        from ..scene.scene import BVH_LEAF_SIZE
+
+        return traverse_pallas.traverse_any(
+            scene["bvh"],
+            origins,
+            directions,
+            t_min,
+            t_max,
+            leaf_size=BVH_LEAF_SIZE,
+            interpret=(impl == "pallas_interpret"),
+        )
     if impl in ("pallas", "pallas_interpret"):
         return intersect_pallas.trace_any(
             scene,
@@ -389,6 +420,13 @@ def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(jnp.isnan(color), 0.0, jnp.maximum(color, 0.0))
 
 
+GEO_CONST_LIMIT_BYTES = 8 * 1024 * 1024
+
+
+def _geo_bytes(geo: dict) -> int:
+    return sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(geo))
+
+
 def make_render_step(
     scene: dict,
     width: int,
@@ -412,21 +450,32 @@ def make_render_step(
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
 
+    if _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+        @jax.jit
+        def step(options: dict, camera: dict, lights: dict, env: dict) -> dict:
+            full = dict(geo, lights=lights, env=env)
+            return render_sample(
+                full, options, camera, width, height,
+                mode=mode, ao_only=ao_only, jitter_scale=jitter_scale,
+                impl=impl, env_kind=env_kind,
+            )
+
+        return step
+
+    # Large scene: geometry as runtime arguments (baking it as constants
+    # blows up the compile payload; the per-dispatch argument overhead is
+    # negligible against big-scene frame times).
     @jax.jit
-    def step(options: dict, camera: dict, lights: dict, env: dict) -> dict:
-        full = dict(geo, lights=lights, env=env)
+    def inner(options, camera, lights, env, geo_arg):
+        full = dict(geo_arg, lights=lights, env=env)
         return render_sample(
-            full,
-            options,
-            camera,
-            width,
-            height,
-            mode=mode,
-            ao_only=ao_only,
-            jitter_scale=jitter_scale,
-            impl=impl,
-            env_kind=env_kind,
+            full, options, camera, width, height,
+            mode=mode, ao_only=ao_only, jitter_scale=jitter_scale,
+            impl=impl, env_kind=env_kind,
         )
+
+    def step(options, camera, lights, env):
+        return inner(options, camera, lights, env, geo)
 
     return step
 
