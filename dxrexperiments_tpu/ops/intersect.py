@@ -92,12 +92,11 @@ def _valid_mask(det, u_d, v_d, t_d, t_min, t_max, cull_backface: bool):
 
 
 def _fit_chunk(t_total: int, desired: int = DEFAULT_CHUNK) -> int:
-    """Largest 128-multiple chunk <= desired that divides the (128-aligned)
-    padded triangle count."""
+    """Largest chunk <= desired that divides the padded triangle count."""
     c = min(desired, t_total)
-    while c > 128 and t_total % c != 0:
-        c //= 2
-    return max(c, 128) if t_total % max(c, 128) == 0 else 128
+    while c > 1 and t_total % c != 0:
+        c -= 1
+    return max(c, 1)
 
 
 def _slice_tris(scene: dict, start: int, size: int) -> dict:

@@ -57,10 +57,14 @@ ROW_ESTR, ROW_REFL, ROW_ROUGH, ROW_IOR, ROW_TYPE = 21, 22, 23, 24, 25
 
 
 def _tri_chunk(t_padded: int) -> int:
-    for c in (512, 256, 128):
-        if t_padded % c == 0:
-            return min(c, t_padded)
-    raise ValueError(f"triangle count {t_padded} not 128-aligned")
+    """Largest 8-multiple chunk <= 512 dividing the padded triangle count
+    (triangles are on sublanes: 8-alignment suffices)."""
+    c = min(512, t_padded)
+    while c > 8 and t_padded % c != 0:
+        c -= 8
+    if t_padded % c != 0:
+        raise ValueError(f"triangle count {t_padded} not 8-aligned")
+    return c
 
 
 def _pair_block(rays_ref, mt_ref, cull: bool, tmin, tmax, need_t: bool = True):

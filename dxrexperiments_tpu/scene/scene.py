@@ -30,7 +30,7 @@ from .materials import Material, stack_materials
 from .mesh import Mesh
 from . import envmap as envmap_mod
 
-TRI_ALIGN = 128  # pad triangle count to the TPU lane width
+TRI_ALIGN = 8  # pad triangle count to the sublane tile (triangles ride sublanes in the kernels)
 
 
 @dataclasses.dataclass

@@ -112,7 +112,7 @@ def test_scene_build_padding_and_precomputes():
     sc.add_model(mesh)
     data = sc.build()
     T = data["v0"].shape[0]
-    assert T % 128 == 0
+    assert T % 8 == 0
     n = int(data["num_tris"])
     assert n == mesh.num_triangles
     # Plücker precomputes match definitions.
