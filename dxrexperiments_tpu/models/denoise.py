@@ -113,28 +113,47 @@ def linear_to_srgb(color: jnp.ndarray, gamma: jnp.ndarray) -> jnp.ndarray:
     return jnp.power(jnp.maximum(color, 0.0), 1.0 / gamma)
 
 
-@functools.partial(jax.jit)
+@functools.partial(jax.jit, static_argnames=("impl",))
 def denoise_composite(
     direct_lighting: jnp.ndarray,
     indirect_specular: jnp.ndarray,
     params: dict,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Full DenoiseCompositor::dispatch equivalent
     (/root/reference/src/DenoiseCompositor.cpp:109-148): H pass over the
     indirect-specular AOV -> V pass -> composite + exposure + tonemap + gamma.
 
     Inputs are [H, W, 3] linear HDR; returns [H, W, 3] display-ready.
+    impl: 'auto' uses the fused Pallas row kernels on TPU (input/guide read
+    once per pass) and the XLA shift chain elsewhere.
     """
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "jnp"
     radius = params["max_kernel_size"].astype(jnp.float32)
     dbg = params["debug_visualize"]
 
+    if impl in ("pallas", "pallas_interpret"):
+        from ..ops.bilateral_pallas import bilateral_pass
+
+        interp = impl == "pallas_interpret"
+
+        def run_pass(img, axis):
+            return bilateral_pass(
+                img, direct_lighting, radius, axis=axis, interpret=interp
+            )
+    else:
+
+        def run_pass(img, axis):
+            return _bilateral_pass(img, direct_lighting, radius, axis=axis)
+
     # Pass 0 (horizontal): filter indirect specular guided by direct lighting.
     # debugVisualize==2 bypasses the filter (DenoiseCommon.hlsli:50-54).
-    pass0 = _bilateral_pass(indirect_specular, direct_lighting, radius, axis=1)
+    pass0 = run_pass(indirect_specular, axis=1)
     pass0 = jnp.where(dbg == 2, indirect_specular, pass0)
 
     # Pass 1 (vertical): filter pass0, same guide.
-    pass1 = _bilateral_pass(pass0, direct_lighting, radius, axis=0)
+    pass1 = run_pass(pass0, axis=0)
     pass1 = jnp.where(dbg == 2, pass0, pass1)
 
     # Composite (DenoiseCommon.hlsli:56-65):
