@@ -109,6 +109,31 @@ def build_scene(name: str) -> tuple[Scene, Camera]:
     return sc, cam
 
 
+def parse_env(spec: str) -> dict:
+    """--env parser: kind[:arg][ xStrength]. Replaces the reference's
+    hardcoded HDR/cubemap loads
+    (/root/reference/src/ProgressiveRaytracingPipeline.cpp:111-118)."""
+    strength = 1.0
+    if " x" in spec:
+        spec, s = spec.rsplit(" x", 1)
+        strength = float(s)
+    kind, _, arg = spec.partition(":")
+    if kind == "gradient":
+        return envmap.gradient_env(strength=strength)
+    if kind == "constant":
+        rgb = tuple(float(v) for v in arg.split(",")) if arg else (0.0, 0.0, 0.0)
+        return envmap.constant_env(rgb, strength=strength)
+    if kind == "latlong":
+        from ..utils.image import read_image
+
+        return envmap.latlong_env(read_image(arg), strength=strength)
+    if kind == "cubemap":
+        from ..utils.dds import load_cubemap
+
+        return envmap.cubemap_env(load_cubemap(arg), strength=strength)
+    raise ValueError(f"unknown env spec {spec!r}")
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="cornell", help="cornell | cornell-glossy | mesh file path")
@@ -124,6 +149,13 @@ def main(argv=None) -> int:
         help="debug AOV view (progressive pipeline)",
     )
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--env",
+        default=None,
+        help="environment override: gradient | constant:R,G,B | "
+        "latlong:path(.hdr/.jpg/.png) | cubemap:path(.dds) "
+        "[xStrength suffix, e.g. gradient x2.0]",
+    )
     ap.add_argument("--tonemap", action="store_true", help="Reinhard+gamma the progressive output")
     ap.add_argument(
         "--platform",
@@ -144,6 +176,8 @@ def main(argv=None) -> int:
     if width < 1 or height < 1:
         ap.error(f"invalid --size {args.size!r}")
     scene, camera = build_scene(args.scene)
+    if args.env:
+        scene.environment = parse_env(args.env)
     camera.set_aspect(width, height)
     stats = FrameStats(width, height)
 

@@ -220,3 +220,25 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
         self.accum = jnp.asarray(state["accum"])
         self.accum_count = int(state["accum_count"])
         self.last_vp = state["last_vp"]
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist the restartable accumulation state — the reference's
+        implicit (accum texture, accumCount) progress made durable
+        (SURVEY.md §5 checkpoint/resume)."""
+        s = self.state_dict()
+        np.savez(
+            path,
+            accum=s["accum"],
+            accum_count=np.asarray(s["accum_count"]),
+            last_vp=s["last_vp"] if s["last_vp"] is not None else np.zeros((0,)),
+        )
+
+    def load_checkpoint(self, path: str) -> None:
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        self.load_state_dict(
+            {
+                "accum": z["accum"],
+                "accum_count": int(z["accum_count"]),
+                "last_vp": z["last_vp"] if z["last_vp"].size else None,
+            }
+        )
