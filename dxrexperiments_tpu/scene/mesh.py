@@ -379,10 +379,14 @@ def load_mesh(path: str, on_error: str = "fallback") -> Mesh:
             return load_obj(path)
         if ext == ".ply":
             return load_ply(path)
-        if ext in (".fbx", ".dae", ".gltf", ".glb"):
+        if ext in (".gltf", ".glb"):
+            from .gltf import load_gltf
+
+            return load_gltf(path)
+        if ext in (".fbx", ".dae"):
             raise NotImplementedError(
                 f"{ext} import requires assimp bindings, not present in this "
-                "environment; convert to OBJ/PLY or add pyassimp."
+                "environment; convert to OBJ/PLY/glTF."
             )
         raise ValueError(f"unknown mesh format {ext!r}")
     except Exception:
