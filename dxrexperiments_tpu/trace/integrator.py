@@ -210,13 +210,48 @@ def _eval_point_light(scene, position, normal, active, impl):
 
 def _direct_lighting(scene, options, position, normal, seed, active, impl):
     """Direct term with the debug==2 one-of-two-lights MC estimator
-    (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3])."""
+    (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3]).
+
+    Both lights' shadow rays are batched into ONE any-hit launch (the DXR
+    version issues two TraceRay calls; on TPU one [2N]-ray kernel halves
+    launch count with identical results lane-for-lane)."""
     seed_mc, pick = rng.next_rand(seed)
     is_mc = options["debug"] == 2
     # HLSL consumes the picking draw only when debug==2.
     seed_out = jnp.where(is_mc, seed_mc, seed)
-    d_contrib = _eval_directional_light(scene, position, normal, active, impl)
-    p_contrib = _eval_point_light(scene, position, normal, active, impl)
+
+    n = position.shape[0]
+    dlight = scene["lights"]["dir"]
+    plight = scene["lights"]["point"]
+    l_dir = jnp.broadcast_to(vm.normalize(-dlight["forward"]), position.shape)
+    path = plight["position"] - position
+    dist = vm.length(path)
+    l_pnt = vm.normalize(path)
+
+    occ = _trace_any(
+        scene,
+        jnp.concatenate([position, position]),
+        jnp.concatenate([l_dir, l_pnt]),
+        RAY_EPSILON,
+        jnp.concatenate(
+            [
+                jnp.full((n,), RAY_MAX_T, jnp.float32),
+                jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON),
+            ]
+        ),
+        impl,
+    )
+    d_vis = jnp.where(active & ~occ[:n], 1.0, 0.0)
+    p_vis = jnp.where(active & ~occ[n:], 1.0, 0.0)
+
+    nol_d = vm.saturate(vm.dot(normal, l_dir))
+    d_contrib = dlight["color"] * dlight["intensity"] * (nol_d * d_vis)[..., None]
+    nol_p = vm.saturate(vm.dot(normal, l_pnt))
+    falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
+    p_contrib = (
+        plight["color"] * plight["intensity"] * (nol_p * p_vis * falloff)[..., None]
+    )
+
     full = d_contrib + p_contrib
     mc = jnp.where((pick < 0.5)[..., None], d_contrib * 2.0, p_contrib * 2.0)
     return seed_out, jnp.where(is_mc, mc, full)
@@ -322,8 +357,9 @@ def trace_rays(
     seed = seeds  # initRand restart per shade invocation
     seed, direct = _direct_lighting(scene, options, position, normal, seed, hit, impl)
 
-    # ---- indirect diffuse (progressive only; depth 0 only) ----------------
+    # ---- indirect diffuse direction (progressive only; depth 0 only) ------
     indirect = jnp.zeros_like(direct)
+    sample_dir = None
     if mode == "progressive":
         seed_drawn, r0, r1 = rng.next_rand2(seed)
         cosine = options["cosine_hemisphere_sampling"]
@@ -342,28 +378,46 @@ def trace_rays(
             + (sin_t * jnp.sin(phi))[..., None] * bitangent
         )
         sample_dir = jnp.where(cosine, cos_dir, uni_dir)
-        sec = _secondary_radiance(
-            scene, options, position, sample_dir, seeds, hit, mode, impl, env_kind
-        )
-        nol = vm.saturate(vm.dot(normal, sample_dir))
-        # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
-        # (evaluateIndirectDiffuse, ProgressiveRaytracing.hlsl:57-78).
-        contrib = jnp.where(cosine, sec * M_PI, sec * (nol * 2.0 * M_PI)[..., None])
         no_ind = options["no_indirect_diffuse"]
-        indirect = jnp.where(no_ind, 0.0, contrib)
         # HLSL consumes the 2 draws only when indirect diffuse runs.
         seed = jnp.where(no_ind, seed, seed_drawn)
 
-    # ---- indirect specular (Phong lobe) ------------------------------------
+    # ---- indirect specular direction (Phong lobe) ---------------------------
     # (ProgressiveRaytracing.hlsl:114-130 / RealtimeRaytracing.hlsl:77-93)
     is_spec_mat = (mat["type"] == 1) | (mat["type"] == 2)
     spec_active = hit & is_spec_mat & (mat["reflectivity"] > 0.001)
     exponent = jnp.exp((1.0 - mat["roughness"]) * 12.0)
     mirror = vm.normalize(vm.reflect(directions, normal))
     seed, phong_dir, pdf, brdf = sampling.phong_lobe_sample(seed, mirror, exponent)
-    spec_rad = _secondary_radiance(
-        scene, options, position, phong_dir, seeds, spec_active, mode, impl, env_kind
-    )
+
+    # ---- ONE batched secondary trace for diffuse + specular bounce rays ----
+    # (the DXR version recurses twice; batching halves launch count and
+    # doubles lane occupancy with lane-identical results)
+    if mode == "progressive":
+        n = position.shape[0]
+        sec_both = _secondary_radiance(
+            scene,
+            options,
+            jnp.concatenate([position, position]),
+            jnp.concatenate([sample_dir, phong_dir]),
+            jnp.concatenate([seeds, seeds]),
+            jnp.concatenate([hit, spec_active]),
+            mode,
+            impl,
+            env_kind,
+        )
+        sec = sec_both[:n]
+        spec_rad = sec_both[n:]
+        nol = vm.saturate(vm.dot(normal, sample_dir))
+        # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
+        # (evaluateIndirectDiffuse, ProgressiveRaytracing.hlsl:57-78).
+        contrib = jnp.where(cosine, sec * M_PI, sec * (nol * 2.0 * M_PI)[..., None])
+        indirect = jnp.where(options["no_indirect_diffuse"], 0.0, contrib)
+    else:
+        spec_rad = _secondary_radiance(
+            scene, options, position, phong_dir, seeds, spec_active, mode, impl,
+            env_kind,
+        )
     # brdf/pdf = (e+2)/(e+1) analytically; guard the 0/0 underflow that the
     # HLSL lets become NaN (then kills via max()).
     ratio = jnp.where(pdf > 1e-30, brdf / jnp.maximum(pdf, 1e-30), (exponent + 2.0) / (exponent + 1.0))
