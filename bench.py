@@ -26,7 +26,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 WIDTH = HEIGHT = 512
-FRAMES_PER_DISPATCH = 16
+SAMPLES_PER_DISPATCH = 8  # SPP batching (amortizes raygen/dispatch overhead)
+DISPATCHES = 6
 REPS = 3
 BASELINE_MRAYS = 500.0
 
@@ -46,25 +47,34 @@ def main() -> None:
     mi = jnp.asarray(1 << 30, jnp.int32)
 
     # The production path: scene geometry baked into the compiled step,
-    # per-frame camera pytrees as arguments.
-    step = make_progressive_step(scene, WIDTH, HEIGHT)
+    # SPP-batched (S stacked cameras per dispatch), per-frame pytrees as args.
+    step = make_progressive_step(
+        scene, WIDTH, HEIGHT, samples_per_step=SAMPLES_PER_DISPATCH
+    )
     rng = np.random.default_rng(0)
     frames = []
-    for f in range(FRAMES_PER_DISPATCH):
-        c = dict(cams[0])
-        c["jitter"] = jnp.asarray(
-            [(rng.random() - 0.5) / WIDTH, (rng.random() - 0.5) / HEIGHT],
-            jnp.float32,
-        )
-        c["frame_count"] = jnp.asarray(f, jnp.uint32)
-        c["accum_count"] = jnp.asarray(float(f), jnp.float32)
-        frames.append(jax.device_put(c))
+    for f in range(DISPATCHES):
+        cs = []
+        for k in range(SAMPLES_PER_DISPATCH):
+            c = dict(cams[0])
+            c["jitter"] = jnp.asarray(
+                [(rng.random() - 0.5) / WIDTH, (rng.random() - 0.5) / HEIGHT],
+                jnp.float32,
+            )
+            c["frame_count"] = jnp.asarray(
+                f * SAMPLES_PER_DISPATCH + k, jnp.uint32
+            )
+            c["accum_count"] = jnp.asarray(
+                float(f * SAMPLES_PER_DISPATCH), jnp.float32
+            )
+            cs.append(c)
+        frames.append(jax.device_put(jax.tree.map(lambda *xs: jnp.stack(xs), *cs)))
 
     # Warm the tunnel, compile, settle.
     for _ in range(3):
         float(jnp.sum(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048))))
     accum = accum0
-    for f in range(3):
+    for f in range(2):
         accum = step(accum, options, frames[f], lights, env, mi)
     float(jnp.sum(accum))
 
@@ -72,12 +82,13 @@ def main() -> None:
     for _ in range(REPS):
         accum = accum0
         t0 = time.perf_counter()
-        for f in range(FRAMES_PER_DISPATCH):
+        for f in range(DISPATCHES):
             accum = step(accum, options, frames[f], lights, env, mi)
         float(jnp.sum(accum))
         dt = min(dt, time.perf_counter() - t0)
 
-    mrays = WIDTH * HEIGHT * FRAMES_PER_DISPATCH / dt / 1e6
+    total_samples = DISPATCHES * SAMPLES_PER_DISPATCH
+    mrays = WIDTH * HEIGHT * total_samples / dt / 1e6
     print(
         json.dumps(
             {

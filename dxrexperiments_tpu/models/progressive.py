@@ -70,38 +70,60 @@ def progressive_step(
     )
 
 
-def make_progressive_step(scene: dict, width: int, height: int, ao_only: bool = False):
+def make_progressive_step(
+    scene: dict,
+    width: int,
+    height: int,
+    ao_only: bool = False,
+    samples_per_step: int = 1,
+):
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
-    ``step(accum, options, camera, lights, env, max_iterations)``."""
+    ``step(accum, options, camera, lights, env, max_iterations)``.
+
+    samples_per_step > 1 renders S decorrelated samples per dispatch (camera
+    pytrees stacked on a leading [S] axis) and folds their mean in — the
+    single-chip form of SPP batching, amortizing raygen/dispatch overhead.
+    """
     from ..trace.integrator import GEO_CONST_LIMIT_BYTES, _geo_bytes
 
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
+    s_count = samples_per_step
 
     def _step_impl(accum, options, camera, lights, env, max_iterations, geo_in):
         full = dict(geo_in, lights=lights, env=env)
 
-        def converged(_):
-            return accum
-
-        def sample(_):
-            out = render_sample(
+        def render_one(cam):
+            return render_sample(
                 full,
                 options,
-                camera,
+                cam,
                 width,
                 height,
                 mode="progressive",
                 ao_only=ao_only,
                 jitter_scale=30.0,
                 env_kind=env_kind,
-            )
-            count = camera["accum_count"]
-            return (count * accum + out["color"]) / (count + 1.0)
+            )["color"]
+
+        if s_count == 1:
+            base_count = camera["accum_count"]
+
+            def sample(_):
+                return (base_count * accum + render_one(camera)) / (base_count + 1.0)
+        else:
+            base_count = camera["accum_count"][0]
+
+            def sample(_):
+                mean = jnp.mean(jax.vmap(render_one)(camera), axis=0)
+                return (base_count * accum + s_count * mean) / (base_count + s_count)
+
+        def converged(_):
+            return accum
 
         return jax.lax.cond(
-            camera["accum_count"] >= max_iterations.astype(jnp.float32),
+            base_count >= max_iterations.astype(jnp.float32),
             converged,
             sample,
             None,
@@ -129,9 +151,16 @@ def make_progressive_step(scene: dict, width: int, height: int, ao_only: bool = 
 class ProgressiveRaytracingPipeline(RaytracingPipeline):
     name = "Progressive Raytracing"
 
-    def __init__(self, width: int = 512, height: int = 512, seed: int | None = None):
+    def __init__(
+        self,
+        width: int = 512,
+        height: int = 512,
+        seed: int | None = None,
+        samples_per_frame: int = 1,
+    ):
         super().__init__()
         self.options = default_options()
+        self.samples_per_frame = max(int(samples_per_frame), 1)
         self.max_iterations = 1024
         self.frame_accumulation_enabled = True
         self.animation_paused = True  # reference default (ctor :30)
@@ -169,10 +198,20 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
             self.last_vp = self.camera.view_proj_matrix()
             self._frame_dirty = False
 
-        self._camera_params = self._frame_camera_params(
-            elapsed_frames, self.accum_count, self.rng
-        )
-        self.accum_count += 1
+        s_count = self.samples_per_frame
+        if s_count == 1:
+            self._camera_params = self._frame_camera_params(
+                elapsed_frames, self.accum_count, self.rng
+            )
+        else:
+            cams = [
+                self._frame_camera_params(
+                    elapsed_frames * s_count + k, self.accum_count, self.rng
+                )
+                for k in range(s_count)
+            ]
+            self._camera_params = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+        self.accum_count += s_count
 
         # Animated sun + default point light (:197-208) — only when the
         # pipeline owns the light rig (scene didn't define one).
@@ -183,13 +222,19 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
     def _step_fn(self):
         # Recompile only when geometry identity or static config changes
         # (lights/env stay arguments, so animation never recompiles).
-        geo_key = (self.width, self.height, self.ao_only) + tuple(
+        geo_key = (
+            self.width, self.height, self.ao_only, self.samples_per_frame
+        ) + tuple(
             id(v) for k, v in sorted(self.scene_data.items())
             if k not in ("lights", "env")
         )
         if getattr(self, "_geo_key", None) != geo_key:
             self._step = make_progressive_step(
-                self.scene_data, self.width, self.height, self.ao_only
+                self.scene_data,
+                self.width,
+                self.height,
+                self.ao_only,
+                samples_per_step=self.samples_per_frame,
             )
             self._geo_key = geo_key
         return self._step

@@ -195,3 +195,18 @@ def test_denoise_mock_input_harness():
     )
     out = np.asarray(d.dispatch())
     assert out.shape == (32, 32, 3) and np.isfinite(out).all()
+
+
+def test_progressive_samples_per_frame():
+    """SPP batching: S samples per dispatch, count advances by S, image
+    statistically consistent with S=1 accumulation."""
+    pipe1 = make_pipeline(ProgressiveRaytracingPipeline, n=24)
+    pipe4 = make_pipeline(ProgressiveRaytracingPipeline, n=24, samples_per_frame=4)
+    run_frames(pipe1, 8)
+    run_frames(pipe4, 2)
+    assert pipe1.accum_count == 8 and pipe4.accum_count == 8
+    a = np.asarray(pipe1.get_output())
+    b = np.asarray(pipe4.get_output())
+    # Different sample sequences but same estimator: images agree to MC noise.
+    assert abs(a.mean() - b.mean()) < 0.05
+    assert np.isfinite(b).all()
