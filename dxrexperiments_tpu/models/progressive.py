@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..scene.lights import animated_dir_light_forward, default_lights
+from ..scene.lights import default_lights
 from ..trace.integrator import default_options, render_sample
 from .base import RaytracingPipeline, has_camera_moved, wall_seed
 

@@ -57,14 +57,18 @@ ROW_ESTR, ROW_REFL, ROW_ROUGH, ROW_IOR, ROW_TYPE = 21, 22, 23, 24, 25
 
 
 def _tri_chunk(t_padded: int) -> int:
-    """Largest 8-multiple chunk <= 512 dividing the padded triangle count
-    (triangles are on sublanes: 8-alignment suffices)."""
-    c = min(512, t_padded)
-    while c > 8 and t_padded % c != 0:
-        c -= 8
-    if t_padded % c != 0:
-        raise ValueError(f"triangle count {t_padded} not 8-aligned")
-    return c
+    """Chunk size: the whole (8-aligned) array when it fits one chunk, else
+    512 (scene build pads to a 512 multiple; per-chunk attribute blocks ride
+    lanes and must be 128-aligned unless they span the full array)."""
+    if t_padded <= 512:
+        if t_padded % 8 != 0:
+            raise ValueError(f"triangle count {t_padded} not 8-aligned")
+        return t_padded
+    if t_padded % 512 != 0:
+        raise ValueError(
+            f"triangle count {t_padded} not 512-aligned (rebuild the scene)"
+        )
+    return 512
 
 
 def _pair_block(rays_ref, mt_ref, cull: bool, tmin, tmax, need_t: bool = True):

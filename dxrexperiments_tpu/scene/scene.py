@@ -165,7 +165,14 @@ class Scene:
             mid = iid = np.zeros((0,), np.int32)
 
         num_tris = len(v0)
-        padded = max(TRI_ALIGN, -(-num_tris // TRI_ALIGN) * TRI_ALIGN)
+        # Pad to the sublane tile when a single kernel chunk covers the whole
+        # scene; above one chunk (512) the attribute blocks ride the lane
+        # dimension per chunk, which Mosaic requires to be 128-aligned — so
+        # pad to a full chunk multiple instead.
+        if num_tris <= 512:
+            padded = max(TRI_ALIGN, -(-num_tris // TRI_ALIGN) * TRI_ALIGN)
+        else:
+            padded = -(-num_tris // 512) * 512
 
         def pad3(a):
             out = np.zeros((padded, 3), np.float32)

@@ -110,3 +110,23 @@ def test_ray_padding_roundtrip():
     assert got["hit"].shape == (77,)
     ref = intersect.intersect_closest(scene, o, d)
     np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+
+
+def test_mid_size_scene_chunking():
+    """Scenes between 512 and a 512-multiple exercise per-chunk attribute
+    blocks (regression: susanne's 968 padded tris produced lane-misaligned
+    chunks)."""
+    from dxrexperiments_tpu.scene.procedural import sphere_mesh
+
+    sc = Scene()
+    sc.add_model(sphere_mesh((0, 0, 0), 1.0, lat=16, lon=32))  # 960 tris
+    data = sc.build(accel="none")
+    assert data["v0"].shape[0] % 512 == 0
+    o, d = random_rays(200, seed=13, inside=False)
+    ref = intersect.intersect_closest(data, o, d, t_min=1e-4)
+    got = intersect_pallas.trace_closest(data, o, d, t_min=1e-4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+    hit = np.asarray(ref["hit"])
+    np.testing.assert_allclose(
+        np.asarray(got["t"])[hit], np.asarray(ref["t"])[hit], rtol=2e-4, atol=2e-5
+    )
