@@ -141,6 +141,13 @@ def main(argv=None) -> int:
     ap.add_argument("--spp", type=int, default=16, help="progressive samples")
     ap.add_argument("--pipeline", choices=["progressive", "realtime"], default="progressive")
     ap.add_argument("--denoise", action="store_true", help="realtime: run DenoiseCompositor")
+    ap.add_argument(
+        "--temporal",
+        type=float,
+        default=None,
+        metavar="ALPHA",
+        help="realtime: temporal accumulation blend factor (e.g. 0.2)",
+    )
     ap.add_argument("--ao-only", action="store_true")
     ap.add_argument(
         "--aov",
@@ -215,7 +222,7 @@ def main(argv=None) -> int:
         pipe = RealtimeRaytracingPipeline(width, height, seed=args.seed)
         pipe.set_camera(camera)
         pipe.set_scene(scene)
-        denoiser = DenoiseCompositor()
+        denoiser = DenoiseCompositor(temporal_alpha=args.temporal)
         t0 = time.perf_counter()
         pipe.update(elapsed_time=0.0, elapsed_frames=0)
         direct, indirect = pipe.render()

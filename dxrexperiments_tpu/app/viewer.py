@@ -232,7 +232,10 @@ class ViewerApp:
     def step(self, inp: InputState) -> np.ndarray:
         self.timer.tick()
         dt = max(self.timer.elapsed_seconds, 1e-4)
+        vp_before = self.camera.view_proj_matrix()
         self.controller.update(dt, inp)
+        if not np.array_equal(vp_before, self.camera.view_proj_matrix()):
+            self.denoiser.reset_history()  # avoid temporal ghosting
         pipe = self.pipeline
         pipe.update(
             elapsed_time=self.timer.total_seconds,

@@ -176,15 +176,27 @@ def denoise_composite(
     return color
 
 
+@functools.partial(jax.jit)
+def temporal_blend(history: jnp.ndarray, current: jnp.ndarray, alpha) -> jnp.ndarray:
+    """Exponential temporal accumulation (the 'temporal' half of a
+    spatio-temporal denoiser; the reference's filter is spatial-only, this
+    extends it): out = lerp(history, current, alpha)."""
+    return history + (current - history) * alpha
+
+
 class DenoiseCompositor:
     """Host-side wrapper mirroring the reference class shape
     (create/loadResources/dispatch, /root/reference/include/DenoiseCompositor.h:13-27).
-    Holds the parameter pytree (the UI surface) and optional mock inputs."""
+    Holds the parameter pytree (the UI surface), optional mock inputs, and
+    optional temporal history (reset on camera move, like the progressive
+    pipeline's accumulation reset)."""
 
-    def __init__(self, params: dict | None = None):
+    def __init__(self, params: dict | None = None, temporal_alpha: float | None = None):
         self.params = params or default_denoise_params()
         self.active = True
         self.mock_inputs: tuple | None = None
+        self.temporal_alpha = temporal_alpha  # None = spatial only (reference parity)
+        self._history: jnp.ndarray | None = None
 
     def load_mock_resources(self, direct_img, indirect_img) -> None:
         """Parity with the PNG-fixture mock-input mode
@@ -194,9 +206,22 @@ class DenoiseCompositor:
             jnp.asarray(indirect_img, jnp.float32),
         )
 
+    def reset_history(self) -> None:
+        """Call on camera move / scene change (ghosting guard)."""
+        self._history = None
+
     def dispatch(self, direct_lighting=None, indirect_specular=None) -> jnp.ndarray:
         if direct_lighting is None:
             if self.mock_inputs is None:
                 raise ValueError("no inputs and no mock resources loaded")
             direct_lighting, indirect_specular = self.mock_inputs
-        return denoise_composite(direct_lighting, indirect_specular, self.params)
+        out = denoise_composite(direct_lighting, indirect_specular, self.params)
+        if self.temporal_alpha is not None:
+            if self._history is None or self._history.shape != out.shape:
+                self._history = out
+            else:
+                self._history = temporal_blend(
+                    self._history, out, jnp.float32(self.temporal_alpha)
+                )
+            return self._history
+        return out

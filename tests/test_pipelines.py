@@ -210,3 +210,26 @@ def test_progressive_samples_per_frame():
     # Different sample sequences but same estimator: images agree to MC noise.
     assert abs(a.mean() - b.mean()) < 0.05
     assert np.isfinite(b).all()
+
+
+def test_denoise_temporal_accumulation():
+    """Temporal half of the spatio-temporal filter: variance shrinks across
+    frames for a static camera; reset clears history."""
+    rs = np.random.default_rng(2)
+    den = DenoiseCompositor(
+        default_denoise_params(tonemap=False, max_kernel_size=1),
+        temporal_alpha=0.3,
+    )
+    direct = jnp.zeros((32, 32, 3))
+    frames = [
+        jnp.asarray(0.5 + rs.normal(0, 0.2, (32, 32, 3)).astype(np.float32))
+        for _ in range(12)
+    ]
+    out1 = np.asarray(den.dispatch(direct, frames[0]))
+    for f in frames[1:]:
+        out = np.asarray(den.dispatch(direct, f))
+    assert out.std() < out1.std() * 0.6  # converging toward the 0.5 mean
+    np.testing.assert_allclose(out.mean(), 0.5, atol=0.05)
+    den.reset_history()
+    out_r = np.asarray(den.dispatch(direct, frames[0]))
+    np.testing.assert_allclose(out_r, out1, atol=1e-6)  # history cleared
