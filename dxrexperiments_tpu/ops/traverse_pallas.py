@@ -55,17 +55,25 @@ def pack_for_traversal(nodes: dict, scene: dict, leaf_size: int = 16) -> dict:
     leaf_ids = np.nonzero(leaf_mask)[0]
     n_leaves = len(leaf_ids)
 
-    slot_tri = np.full((max(n_leaves, 1) * leaf_size,), -1, np.int64)
+    # Vectorized leaf regularization (the per-leaf Python loop cost minutes
+    # at a million triangles).
+    starts = -child[leaf_ids, 0] - 1
+    counts = np.clip(child[leaf_ids, 1], 0, leaf_size)
+    lane = np.arange(leaf_size)[None, :]
+    src = np.clip(starts[:, None] + lane, 0, max(len(order) - 1, 0))
+    vals = order[src] if len(order) else np.full_like(src, -1)
+    in_count = lane < counts[:, None]
+    slots2d = np.where(in_count & (vals >= 0), vals, -1)
+    # compact valid tris to the front of each leaf (order[start:] may carry
+    # -1 padding slots from the Morton builder)
+    key = np.where(slots2d >= 0, 0, 1)
+    sort_idx = np.argsort(key, axis=1, kind="stable")
+    slots2d = np.take_along_axis(slots2d, sort_idx, axis=1)
+    slot_tri = slots2d.reshape(-1) if n_leaves else np.full((leaf_size,), -1, np.int64)
+
     new_child = child.copy()
-    for slot_leaf, node_id in enumerate(leaf_ids):
-        start = -child[node_id, 0] - 1
-        count = min(child[node_id, 1], leaf_size)
-        dst = slot_leaf * leaf_size
-        tris = order[start : start + count]
-        tris = tris[tris >= 0]
-        slot_tri[dst : dst + len(tris)] = tris
-        new_child[node_id, 0] = -(dst + 1)
-        new_child[node_id, 1] = len(tris)
+    new_child[leaf_ids, 0] = -(np.arange(n_leaves) * leaf_size + 1)
+    new_child[leaf_ids, 1] = (slots2d >= 0).sum(axis=1)
 
     s = len(slot_tri)
     s_pad = max(-(-s // 128) * 128, 128)
