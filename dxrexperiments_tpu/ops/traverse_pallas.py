@@ -37,7 +37,9 @@ BIG = 3.0e38
 MAX_STACK = 96  # depth bound: 2*levels+2; 96 covers trees to ~2^47 leaves
 
 
-def pack_for_traversal(nodes: dict, scene: dict, leaf_size: int = 16) -> dict:
+def pack_for_traversal(
+    nodes: dict, scene: dict, leaf_size: int = 16, include_attrs: bool = False
+) -> dict:
     """Regularize a node-array BVH (accel/bvh.py format) + scene packs into
     kernel-ready arrays:
 
@@ -78,13 +80,15 @@ def pack_for_traversal(nodes: dict, scene: dict, leaf_size: int = 16) -> dict:
     s = len(slot_tri)
     s_pad = max(-(-s // 128) * 128, 128)
     mt = np.asarray(scene["mt_pack"])  # [4, T, 16]
-    attr = np.asarray(scene["attr_pack"])  # [32, T]
     mt_sorted = np.zeros((4, s_pad, 16), np.float32)
-    attr_sorted = np.zeros((32, s_pad), np.float32)
     valid = slot_tri >= 0
     src = np.where(valid, slot_tri, 0)
     mt_sorted[:, :s][:, valid] = mt[:, src][:, valid]
-    attr_sorted[:, :s][:, valid] = attr[:, src][:, valid]
+    attr_sorted = None
+    if include_attrs:
+        attr = np.asarray(scene["attr_pack"])  # [32, T]
+        attr_sorted = np.zeros((32, s_pad), np.float32)
+        attr_sorted[:, :s][:, valid] = attr[:, src][:, valid]
     # Kernel layout [S, 128]: slot-major rows with the 64 coefficients
     # (4 groups x 16) on lanes (padded to 128). A leaf's [K, 128] DMA slice
     # is sublane-aligned (K and slot starts are multiples of 8) and the
@@ -102,13 +106,15 @@ def pack_for_traversal(nodes: dict, scene: dict, leaf_size: int = 16) -> dict:
     slot_tri_pad = np.full((s_pad,), -1, np.int32)
     slot_tri_pad[:s] = slot_tri.astype(np.int32)
 
-    return {
+    out = {
         "bvh_nodes": jnp.asarray(bvh_nodes),
         "mt_rows": jnp.asarray(mt_rows),
-        "attr_sorted": jnp.asarray(attr_sorted),
         "slot_tri": jnp.asarray(slot_tri_pad),
         "leaf_size": leaf_size,
     }
+    if attr_sorted is not None:
+        out["attr_sorted"] = jnp.asarray(attr_sorted)
+    return out
 
 
 def _leaf_pair_test(mt_scratch, o, d, m, tmin, tmax, cull: bool, count, K: int):

@@ -271,7 +271,6 @@ class Scene:
                 )
             packed = pack_for_traversal(nodes, scene_dict, BVH_LEAF_SIZE)
             packed.pop("leaf_size")  # fixed BVH_LEAF_SIZE; pytree stays arrays
-            packed.pop("attr_sorted")  # attrs fetched via original-index gathers
             scene_dict["bvh"] = packed
 
         return scene_dict
