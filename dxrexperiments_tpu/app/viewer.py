@@ -18,6 +18,9 @@ Keys:
   c            toggle cosine hemisphere sampling
   g            cycle debug int (0/1/2 light-MC)
   - / +        environment strength
+  m / M        halve / double progressive max iterations
+  n / N        denoiser kernel radius - / +
+  t            denoiser tonemap toggle     o / O  exposure - / +
   p            save PNG screenshot   x  quit
 """
 
@@ -199,6 +202,28 @@ class ViewerApp:
                 self._env_scale(1.0 / 1.25)
             elif k in "+=":
                 self._env_scale(1.25)
+            elif k in "mM":
+                for p2 in self.pipelines:
+                    if hasattr(p2, "max_iterations"):
+                        p2.max_iterations = max(
+                            1,
+                            p2.max_iterations * 2 if k == "M" else p2.max_iterations // 2,
+                        )
+                        self.message = f"max iterations: {p2.max_iterations}"
+            elif k in "nN":
+                cur = int(self.denoiser.params["max_kernel_size"])
+                cur = min(25, cur + 1) if k == "N" else max(1, cur - 1)
+                self.denoiser.params["max_kernel_size"] = jnp.asarray(cur, jnp.int32)
+                self.message = f"denoise kernel: {cur}"
+            elif k == "t":
+                cur = bool(self.denoiser.params["tonemap"])
+                self.denoiser.params["tonemap"] = jnp.asarray(not cur)
+                self.message = f"tonemap: {not cur}"
+            elif k in "oO":
+                cur = float(self.denoiser.params["exposure"])
+                cur = cur * 1.25 if k == "O" else cur / 1.25
+                self.denoiser.params["exposure"] = jnp.asarray(cur, jnp.float32)
+                self.message = f"exposure: {cur:.2f}"
             elif k == "p":
                 self.screenshot_counter += 1
                 path = f"screenshot_{self.screenshot_counter:03d}.png"
