@@ -171,7 +171,8 @@ def _node_fields(nodes_ref, node):
 
 
 def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
-    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, mt_scratch, sem):
+    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, pend_ref,
+               mt_scratch, sem):
         o = [rays_ref[k, :][None, :] for k in range(3)]
         d = [rays_ref[3 + k, :][None, :] for k in range(3)]
         mom = [
@@ -189,12 +190,43 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
         out_ref[0, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
         stack_ref[0] = 0
 
+        def process_slot(slot):
+            """Test the DMA'd leaf in scratch[slot] and merge its best hit.
+            Leaf metadata (slot start, count) comes from pend_ref."""
+            start = pend_ref[2 * slot]
+            count = pend_ref[2 * slot + 1]
+            valid, ts, det_abs, us, vs = _leaf_pair_test(
+                mt_scratch.at[slot], o, d, mom, tmin, tmax, cull, count, K
+            )
+            if occlusion:
+                occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
+            else:
+                eps = jnp.float32(1e-12)
+                t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+                c_t = jnp.min(t_pair, axis=0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+                c_row = jnp.min(
+                    jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                    axis=0,
+                )
+                sel = (rows == c_row[None, :]).astype(jnp.float32)
+                inv_det = 1.0 / jnp.maximum(jnp.sum(det_abs * sel, axis=0), 1e-12)
+                c_u = jnp.sum(us * sel, axis=0) * inv_det
+                c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                c_slot = (c_row + start).astype(jnp.float32)
+                better = c_t < out_ref[0, :]
+                out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
+                out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
+                out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
+                out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+
         def cond(carry):
-            sp, done = carry
+            sp, done, _q = carry
             return (sp > 0) & ~done
 
         def body(carry):
-            sp, _ = carry
+            sp, _, q = carry
             node = stack_ref[sp - 1]
             fields = _node_fields(nodes_ref, node)
             lo = fields[0:3]
@@ -217,46 +249,33 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
             is_leaf = left < 0.0
 
             sp = sp - 1
+            new_leaf = node_hit & is_leaf
 
-            @pl.when(node_hit & is_leaf)
-            def _leaf():
+            # Double-buffered leaf pipeline: start the new leaf's DMA, then
+            # (while it flies) test the PREVIOUS leaf from the other slot.
+            @pl.when(new_leaf)
+            def _enqueue():
                 start = (-left - 1.0).astype(jnp.int32)
                 count = right.astype(jnp.int32)
+                slot = q % 2
+                pend_ref[2 * slot] = start
+                pend_ref[2 * slot + 1] = count
                 row_start = pl.multiple_of(start, 8)
-                cp = pltpu.make_async_copy(
-                    mt_hbm.at[pl.ds(row_start, K), :], mt_scratch, sem
-                )
-                cp.start()
-                cp.wait()
-                valid, ts, det_abs, us, vs = _leaf_pair_test(
-                    mt_scratch, o, d, mom, tmin, tmax, cull, count, K
-                )
-                if occlusion:
-                    occ = jnp.max(valid.astype(jnp.float32), axis=0)
-                    out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
-                else:
-                    eps = jnp.float32(1e-12)
-                    t_pair = jnp.where(
-                        valid, ts / jnp.maximum(det_abs, eps), BIG
-                    )
-                    c_t = jnp.min(t_pair, axis=0)
-                    rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
-                    c_row = jnp.min(
-                        jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
-                        axis=0,
-                    )
-                    sel = (rows == c_row[None, :]).astype(jnp.float32)
-                    inv_det = 1.0 / jnp.maximum(
-                        jnp.sum(det_abs * sel, axis=0), 1e-12
-                    )
-                    c_u = jnp.sum(us * sel, axis=0) * inv_det
-                    c_v = jnp.sum(vs * sel, axis=0) * inv_det
-                    c_slot = (c_row + start).astype(jnp.float32)
-                    better = c_t < out_ref[0, :]
-                    out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
-                    out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
-                    out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
-                    out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+                pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(row_start, K), :],
+                    mt_scratch.at[slot],
+                    sem.at[slot],
+                ).start()
+
+                @pl.when(q >= 1)
+                def _process_prev():
+                    prev = (q - 1) % 2
+                    pltpu.make_async_copy(
+                        mt_hbm.at[pl.ds(0, K), :],  # shape-only descriptor
+                        mt_scratch.at[prev],
+                        sem.at[prev],
+                    ).wait()
+                    process_slot(prev)
 
             push = node_hit & ~is_leaf
 
@@ -266,13 +285,16 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
                 stack_ref[sp + 1] = right.astype(jnp.int32)
 
             new_sp = sp + jnp.where(push, 2, 0)
+            new_q = q + jnp.where(new_leaf, 1, 0)
             if occlusion:
                 # early exit once every real ray is occluded (padding rays
-                # are marked occluded up-front so they don't block this)
-                done = jnp.min(out_ref[4, :]) > 0.5
+                # are marked occluded up-front so they don't block this);
+                # the pending leaf may still flip lanes, so only exit when
+                # nothing is pending.
+                done = (jnp.min(out_ref[4, :]) > 0.5) & (new_q == q)
             else:
                 done = jnp.bool_(False)
-            return new_sp, done
+            return new_sp, done, new_q
 
         if occlusion:
             # pre-mark padded dead rays (d == 0) as occluded for early exit
@@ -282,7 +304,20 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
             )
             out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
 
-        jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.bool_(False)))
+        _, _, q_final = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
+        )
+
+        # Drain the last pending leaf.
+        @pl.when(q_final >= 1)
+        def _drain():
+            prev = (q_final - 1) % 2
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(0, K), :],
+                mt_scratch.at[prev],
+                sem.at[prev],
+            ).wait()
+            process_slot(prev)
 
         if occlusion:
             # strip the padding marker
@@ -342,8 +377,9 @@ def traverse_closest(
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
-            pltpu.VMEM((leaf_size, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(rays, bvh["bvh_nodes"], bvh["mt_rows"])
@@ -389,8 +425,9 @@ def traverse_any(
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
-            pltpu.VMEM((leaf_size, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(rays, bvh["bvh_nodes"], bvh["mt_rows"])
