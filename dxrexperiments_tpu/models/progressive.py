@@ -76,6 +76,7 @@ def make_progressive_step(
     height: int,
     ao_only: bool = False,
     samples_per_step: int = 1,
+    impl: str = "auto",
 ):
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
@@ -84,12 +85,28 @@ def make_progressive_step(
     samples_per_step > 1 renders S decorrelated samples per dispatch (camera
     pytrees stacked on a leading [S] axis) and folds their mean in — the
     single-chip form of SPP batching, amortizing raygen/dispatch overhead.
+
+    When the scene/config is eligible (small brute-force scene, analytic
+    env) and the resolved impl is Pallas, the whole sample runs as ONE fused
+    megakernel (ops/fused_sample_pallas.py) — the fast path for BASELINE
+    config 1.
     """
-    from ..trace.integrator import GEO_CONST_LIMIT_BYTES, _geo_bytes
+    from ..ops import fused_sample_pallas
+    from ..trace.integrator import (
+        GEO_CONST_LIMIT_BYTES,
+        _geo_bytes,
+        resolve_impl,
+    )
 
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
     s_count = samples_per_step
+    resolved = resolve_impl(impl)
+    use_fused = resolved in (
+        "pallas",
+        "pallas_interpret",
+    ) and fused_sample_pallas.supports_fused(scene, "progressive", ao_only)
+    fused_interpret = resolved == "pallas_interpret"
 
     def _step_impl(accum, options, camera, lights, env, max_iterations, geo_in):
         full = dict(geo_in, lights=lights, env=env)
@@ -104,17 +121,33 @@ def make_progressive_step(
                 mode="progressive",
                 ao_only=ao_only,
                 jitter_scale=30.0,
+                impl=impl,
                 env_kind=env_kind,
             )["color"]
 
-        if s_count == 1:
-            base_count = camera["accum_count"]
+        base_count = (
+            camera["accum_count"] if s_count == 1 else camera["accum_count"][0]
+        )
 
+        if use_fused:
+            def sample(_):
+                cams = (
+                    camera
+                    if s_count > 1
+                    else jax.tree.map(lambda x: x[None], camera)
+                )
+                total = fused_sample_pallas.fused_progressive_sum(
+                    full, options, cams, width, height, env_kind,
+                    interpret=fused_interpret,
+                )
+                mean = total / s_count
+                return (base_count * accum + s_count * mean) / (
+                    base_count + s_count
+                )
+        elif s_count == 1:
             def sample(_):
                 return (base_count * accum + render_one(camera)) / (base_count + 1.0)
         else:
-            base_count = camera["accum_count"][0]
-
             def sample(_):
                 mean = jnp.mean(jax.vmap(render_one)(camera), axis=0)
                 return (base_count * accum + s_count * mean) / (base_count + s_count)

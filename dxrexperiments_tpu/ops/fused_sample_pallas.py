@@ -1,0 +1,613 @@
+"""Fully-fused progressive-sample megakernel.
+
+One Pallas kernel renders an ENTIRE progressive path-tracing sample — the
+reference's whole DispatchRays tree (RayGen + primary closest-hit + 2 shadow
+rays + indirect-diffuse and Phong-specular bounces + 4 secondary shadow rays,
+/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:11-145) — per ray
+tile, entirely in VMEM. Compared to the 4-launch wavefront path
+(trace/integrator.py + ops/intersect_pallas.py) this removes:
+
+  * every [N,3] HBM round-trip between trace and shade stages,
+  * 3 of 4 kernel launches per sample (and their grid setup),
+  * the XLA shading epilogue's HBM traffic (all epilogue math runs on
+    in-register rows here),
+
+leaving the 9 ray-triangle pair sweeps (the irreducible work) plus a small
+per-ray epilogue. Samples are a grid dimension: the output block stays
+resident while S jittered samples accumulate into it, so per-sample dispatch
+cost is amortized to zero (the in-kernel form of SPP batching).
+
+Scope (falls back to the wavefront path otherwise — chosen statically at
+step-build time, the analogue of compiling a specialized RTPSO):
+  * progressive mode, no ao_only, brute-force scenes (t_padded <= MAX_TRIS,
+    no BVH),
+  * env kinds constant/gradient (texture env maps need gathers that belong
+    in the wavefront path).
+
+RNG: the reference's TEA/LCG draws (RaytracingUtils.hlsli:26-45) are
+precomputed OUTSIDE the kernel. Because the trace tree is static, each
+sample consumes at most 5 LCG draws from the per-pixel chain; which draw
+feeds which decision depends only on two traced flags (debug==2 light
+picking, noIndirectDiffuse), so the kernel selects among the precomputed
+draw rows u1..u5 — bit-identical sequences to the wavefront path, with no
+integer ops in the kernel at all.
+
+Layouts follow ops/intersect_pallas.py (measured on v5e): rays ride lanes,
+triangles ride sublanes, per-ray state is 1-D [TILE_R] rows, hit attributes
+come from a one-hot MXU matmul.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng
+
+BIG = 3.0e38
+RAY_EPSILON = 1.0e-4  # RaytracingCommon.hlsli:9
+RAY_MAX_T = 1.0e38  # RaytracingCommon.hlsli:8
+M_PI = 3.14159265358979323846
+TWO_PI = 2.0 * M_PI
+MAX_TRIS = 256  # pair arrays [C, TILE_R] must fit VMEM ~6x over
+N_DRAWS = 5  # max LCG draws any sample consumes (see module docstring)
+
+# const_pack row 0 (lights + env colors)
+C_DLDIR, C_DLCI, C_PLPOS, C_PLCI, C_ENV0, C_STRENGTH = 0, 3, 6, 9, 12, 15
+# const_pack row 1 (flags + env color 1)
+(
+    F_COSINE,
+    F_NO_IND,
+    F_IS_MC,
+    F_SHOW_DIRECT,
+    F_SHOW_ALBEDO,
+    F_SHOW_FRESNEL,
+    F_SHOW_IND_SPEC,
+    F_SHOW_IND_DIFF,
+    F_ENV1,
+) = 0, 1, 2, 3, 4, 5, 6, 7, 8
+
+# attr_pack rows (scene/scene.py build())
+A_N0, A_N1, A_N2 = 0, 3, 6
+A_ALBEDO, A_SPECULAR, A_EMISSIVE = 10, 13, 16
+A_ESTR, A_REFL, A_ROUGH, A_TYPE = 19, 20, 21, 23
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (
+        a[1] * b[2] - a[2] * b[1],
+        a[2] * b[0] - a[0] * b[2],
+        a[0] * b[1] - a[1] * b[0],
+    )
+
+
+def _normalize3(v, eps=1e-8):
+    """vecmath.normalize parity: zero vectors map to zero."""
+    n2 = _dot3(v, v)
+    inv = jnp.where(n2 > eps, jax.lax.rsqrt(jnp.maximum(n2, eps)), 0.0)
+    return (v[0] * inv, v[1] * inv, v[2] * inv), n2
+
+
+def _saturate(x):
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _perpendicular(u):
+    """Branchless smallest-axis perpendicular (vecmath.get_perpendicular,
+    parity with RaytracingUtils.hlsli:49-56)."""
+    ax, ay, az = jnp.abs(u[0]), jnp.abs(u[1]), jnp.abs(u[2])
+    xm = ((ax - ay) < 0) & ((ax - az) < 0)
+    ym = ((ay - az) < 0) & ~xm
+    zm = ~(xm | ym)
+    axis = (
+        xm.astype(jnp.float32),
+        ym.astype(jnp.float32),
+        zm.astype(jnp.float32),
+    )
+    return _cross3(u, axis)
+
+
+def _onb(n):
+    """(tangent, bitangent) frame (vecmath.orthonormal_basis)."""
+    bit = _perpendicular(n)
+    tan = _cross3(bit, n)
+    return tan, bit
+
+
+def _hemisphere_dir(n, r0, r1, cosine_flag):
+    """Both hemisphere samplers from the same two draws, traced select
+    (integrator parity: cos/uniform rebuilt from identical r0/r1)."""
+    tan, bit = _onb(n)
+    rr = jnp.sqrt(r0)
+    phi = TWO_PI * r1
+    cphi = jnp.cos(phi)
+    sphi = jnp.sin(phi)
+    cy = jnp.sqrt(jnp.maximum(1.0 - r0, 0.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - r0 * r0, 0.0))
+    cos_dir = tuple(
+        (rr * cphi) * tan[k] + cy * n[k] + (rr * sphi) * bit[k] for k in range(3)
+    )
+    uni_dir = tuple(
+        (sin_t * cphi) * tan[k] + r0 * n[k] + (sin_t * sphi) * bit[k]
+        for k in range(3)
+    )
+    return tuple(
+        jnp.where(cosine_flag > 0.5, cos_dir[k], uni_dir[k]) for k in range(3)
+    )
+
+
+def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
+    """Möller–Trumbore validity/t for all (tri, ray) pairs.
+
+    o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar.
+    Identical math/order to intersect_pallas._pair_block (which this kernel
+    must agree with hit-for-hit). Returns (valid, t_pair, us, vs, det_abs),
+    each [C, TILE_R]; t_pair None when need_t=False.
+    """
+    ob = [o[k][None, :] for k in range(3)]
+    db = [d[k][None, :] for k in range(3)]
+    m = [
+        ob[1] * db[2] - ob[2] * db[1],
+        ob[2] * db[0] - ob[0] * db[2],
+        ob[0] * db[1] - ob[1] * db[0],
+    ]
+
+    def col(g, k):
+        return mt_ref[g, :, k][:, None]
+
+    det = db[0] * col(0, 0) + db[1] * col(0, 1) + db[2] * col(0, 2)
+    u_d = (
+        db[0] * col(1, 0)
+        + db[1] * col(1, 1)
+        + db[2] * col(1, 2)
+        + m[0] * col(1, 3)
+        + m[1] * col(1, 4)
+        + m[2] * col(1, 5)
+    )
+    v_d = (
+        db[0] * col(2, 0)
+        + db[1] * col(2, 1)
+        + db[2] * col(2, 2)
+        + m[0] * col(2, 3)
+        + m[1] * col(2, 4)
+        + m[2] * col(2, 5)
+    )
+    t_d = ob[0] * col(3, 6) + ob[1] * col(3, 7) + ob[2] * col(3, 8) + col(3, 9)
+
+    s = jnp.sign(det)
+    det_abs = det * s
+    us = u_d * s
+    vs = v_d * s
+    ts = t_d * s
+    eps = jnp.float32(1e-12)
+    alive = (det > eps) if cull else (det_abs > eps)
+    tmin_b = (tmin[None, :] if getattr(tmin, "ndim", 0) else tmin) * det_abs
+    tmax_b = (tmax[None, :] if getattr(tmax, "ndim", 0) else tmax) * det_abs
+    valid = (
+        alive
+        & (us >= 0.0)
+        & (vs >= 0.0)
+        & (us + vs <= det_abs)
+        & (ts > tmin_b)
+        & (ts < tmax_b)
+    )
+    if not need_t:
+        return valid, None, us, vs, det_abs
+    t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+    return valid, t_pair, us, vs, det_abs
+
+
+def _any_hit(mt_ref, o, d, tmin, tmax):
+    """Occlusion sweep: True rows where any triangle blocks. [TILE_R]."""
+    valid, _, _, _, _ = _pair_terms(mt_ref, o, d, tmin, tmax, False, False)
+    return jnp.max(valid.astype(jnp.float32), axis=0) > 0.5
+
+
+def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool):
+    """Closest hit + fused attributes for one ray row set.
+
+    Returns dict of [TILE_R] rows: hit (bool), t (miss -> -1), pos (3-tuple),
+    normal (unit 3-tuple), and material rows via the one-hot MXU gather.
+    Single-chunk version of intersect_pallas._closest_kernel.
+    """
+    _, t_pair, us, vs, det_abs = _pair_terms(
+        mt_ref, o, d, tmin, tmax, cull, True
+    )
+    c_t = jnp.min(t_pair, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+    big_i = jnp.int32(2**30)
+    c_local = jnp.min(jnp.where(t_pair == c_t[None, :], rows, big_i), axis=0)
+    sel = (rows == c_local[None, :]).astype(jnp.float32)
+
+    def pick(x):
+        return jnp.sum(x * sel, axis=0)
+
+    inv_det = 1.0 / jnp.maximum(pick(det_abs), 1e-12)
+    c_u = pick(us) * inv_det
+    c_v = pick(vs) * inv_det
+
+    at = jax.lax.dot_general(
+        attr_ref[:, :],
+        sel,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    hit = c_t < BIG
+    t = jnp.where(hit, c_t, -1.0)
+    w = 1.0 - c_u - c_v
+    nx = w * at[A_N0] + c_u * at[A_N1] + c_v * at[A_N2]
+    ny = w * at[A_N0 + 1] + c_u * at[A_N1 + 1] + c_v * at[A_N2 + 1]
+    nz = w * at[A_N0 + 2] + c_u * at[A_N1 + 2] + c_v * at[A_N2 + 2]
+    n2 = nx * nx + ny * ny + nz * nz
+    inv = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+    normal = (nx * inv, ny * inv, nz * inv)
+    pos = tuple(o[k] + t * d[k] for k in range(3))
+    return {"hit": hit, "t": t, "pos": pos, "normal": normal, "at": at}
+
+
+def _env_color(d, const_ref, env_kind: int):
+    """Constant/gradient environment radiance (envmap.sample_environment
+    parity for the in-kernel kinds). Returns 3-tuple of [TILE_R]."""
+    strength = const_ref[0, C_STRENGTH]
+    if env_kind == 0:
+        return tuple(
+            jnp.full_like(d[0], 1.0) * const_ref[0, C_ENV0 + k] * strength
+            for k in range(3)
+        )
+    # gradient: horizon*(1-t) + zenith*t, t = clip(y*0.5+0.5)
+    t = jnp.clip(d[1] * 0.5 + 0.5, 0.0, 1.0)
+    return tuple(
+        (const_ref[0, C_ENV0 + k] * (1.0 - t) + const_ref[1, F_ENV1 + k] * t)
+        * strength
+        for k in range(3)
+    )
+
+
+def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active):
+    """Direct term for both lights with shadow any-hit sweeps + the debug==2
+    one-of-two MC estimator (integrator._direct_lighting parity).
+
+    Returns 3-tuple of [TILE_R]."""
+    dl = tuple(const_ref[0, C_DLDIR + k] + 0.0 * pos[0] for k in range(3))
+    # point light
+    path = tuple(const_ref[0, C_PLPOS + k] - pos[k] for k in range(3))
+    d2 = jnp.maximum(_dot3(path, path), 0.0)
+    dist = jnp.sqrt(d2)
+    lp, _ = _normalize3(path)
+    occ_d = _any_hit(mt_ref, pos, dl, RAY_EPSILON, RAY_MAX_T)
+    occ_p = _any_hit(
+        mt_ref, pos, lp, RAY_EPSILON, jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
+    )
+    d_vis = jnp.where(active & ~occ_d, 1.0, 0.0)
+    p_vis = jnp.where(active & ~occ_p, 1.0, 0.0)
+    nol_d = _saturate(_dot3(normal, dl))
+    nol_p = _saturate(_dot3(normal, lp))
+    falloff = 1.0 / (TWO_PI * jnp.maximum(dist * dist, 1e-12))
+    dterm = nol_d * d_vis
+    pterm = nol_p * p_vis * falloff
+    d_c = tuple(const_ref[0, C_DLCI + k] * dterm for k in range(3))
+    p_c = tuple(const_ref[0, C_PLCI + k] * pterm for k in range(3))
+    full = tuple(d_c[k] + p_c[k] for k in range(3))
+    mc = tuple(
+        jnp.where(pick_draw < 0.5, d_c[k] * 2.0, p_c[k] * 2.0) for k in range(3)
+    )
+    is_mc = const_ref[1, F_IS_MC] > 0.5
+    return tuple(jnp.where(is_mc, mc[k], full[k]) for k in range(3))
+
+
+def _secondary_radiance(
+    mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int
+):
+    """Depth-1 radiance: closest hit, direct lighting, emissive — specular
+    and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
+    parity). Returns 3-tuple [TILE_R]."""
+    h = _closest_hit(mt_ref, attr_ref, o, d, RAY_EPSILON, RAY_MAX_T, cull=False)
+    hit = h["hit"] & active
+    env = _env_color(d, const_ref, env_kind)
+    direct = _direct_lighting(
+        mt_ref, const_ref, h["pos"], h["normal"], pick_draw, hit
+    )
+    at = h["at"]
+    out = []
+    for k in range(3):
+        shade = (
+            at[A_EMISSIVE + k] * at[A_ESTR]
+            + at[A_ALBEDO + k] * direct[k] / M_PI
+        )
+        out.append(
+            jnp.where(hit, shade, jnp.where(active, env[k], 0.0))
+        )
+    return tuple(out)
+
+
+def _sanitize(x):
+    return jnp.where(jnp.isnan(x), 0.0, jnp.maximum(x, 0.0))
+
+
+def _fused_kernel(
+    cam_ref,  # SMEM [S, 16]
+    const_ref,  # SMEM [2, 16]
+    mt_ref,  # VMEM [4, C, 16]
+    attr_ref,  # VMEM [32, C]
+    draws_ref,  # VMEM [8, TILE_R] (rows 0..4 = u1..u5 for this sample)
+    out_ref,  # VMEM [8, TILE_R] (rows 0..2 = summed color)
+    *,
+    width: int,
+    height: int,
+    tile_r: int,
+    env_kind: int,
+):
+    i = pl.program_id(0)
+    s = pl.program_id(1)
+
+    # ---- RayGen (primary_ray_grid parity) --------------------------------
+    lane = jnp.max(
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_r), 1), axis=0
+    )
+    lin = i * tile_r + lane
+    px = lin % width
+    py = lin // width
+    ndcx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
+    ndcy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
+    du = tuple(cam_ref[s, 3 + k] for k in range(3))
+    dv = tuple(cam_ref[s, 6 + k] for k in range(3))
+    dw = tuple(cam_ref[s, 9 + k] for k in range(3))
+    dun = tuple(ndcx * du[k] + (-ndcy) * dv[k] + dw[k] for k in range(3))
+    norm = jnp.sqrt(_dot3(dun, dun))
+    d = tuple(dun[k] / norm for k in range(3))
+    o = tuple(cam_ref[s, 0 + k] + 0.0 * d[0] for k in range(3))
+
+    u1 = draws_ref[0, :]
+    u2 = draws_ref[1, :]
+    u3 = draws_ref[2, :]
+    u4 = draws_ref[3, :]
+    u5 = draws_ref[4, :]
+    is_mc = const_ref[1, F_IS_MC] > 0.5
+    no_ind = const_ref[1, F_NO_IND] > 0.5
+    cosine = const_ref[1, F_COSINE]
+
+    # ---- primary closest hit (cull backfaces, ProgressiveRaytracing.hlsl:34)
+    h = _closest_hit(mt_ref, attr_ref, o, d, 0.0, RAY_MAX_T, cull=True)
+    hit = h["hit"]
+    pos, normal, at = h["pos"], h["normal"], h["at"]
+    env_primary = _env_color(d, const_ref, env_kind)
+
+    # ---- direct lighting (draw u1 = MC light pick) ------------------------
+    direct = _direct_lighting(mt_ref, const_ref, pos, normal, u1, hit)
+
+    # ---- indirect diffuse bounce direction (draws u1/u2 or u2/u3) ---------
+    r0_dif = jnp.where(is_mc, u2, u1)
+    r1_dif = jnp.where(is_mc, u3, u2)
+    diff_dir = _hemisphere_dir(normal, r0_dif, r1_dif, cosine)
+
+    # ---- Phong specular lobe (samplePhongLobe parity) ----------------------
+    r0_ph = jnp.where(
+        no_ind, jnp.where(is_mc, u2, u1), jnp.where(is_mc, u4, u3)
+    )
+    r1_ph = jnp.where(
+        no_ind, jnp.where(is_mc, u3, u2), jnp.where(is_mc, u5, u4)
+    )
+    mtype = at[A_TYPE]
+    refl = at[A_REFL]
+    spec_active = (
+        hit & ((jnp.abs(mtype - 1.0) < 0.5) | (jnp.abs(mtype - 2.0) < 0.5))
+        & (refl > 0.001)
+    )
+    exponent = jnp.exp((1.0 - at[A_ROUGH]) * 12.0)
+    don = _dot3(d, normal)
+    mirror_un = tuple(d[k] - 2.0 * don * normal[k] for k in range(3))
+    mirror, _ = _normalize3(mirror_un)
+    tan, bit = _onb(mirror)
+    cos_t = jnp.power(r0_ph, 1.0 / (exponent + 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    phi = TWO_PI * r1_ph
+    powered_cos = jnp.power(cos_t, exponent)
+    pdf = (exponent + 1.0) / TWO_PI * powered_cos
+    brdf = (exponent + 2.0) / TWO_PI * powered_cos
+    xs = sin_t * jnp.cos(phi)
+    zs = sin_t * jnp.sin(phi)
+    phong_dir = tuple(
+        xs * tan[k] + cos_t * mirror[k] + zs * bit[k] for k in range(3)
+    )
+
+    # ---- secondary bounces (each: closest + 2 shadow sweeps) --------------
+    sec = _secondary_radiance(
+        mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
+    )
+    spec_rad = _secondary_radiance(
+        mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active, env_kind
+    )
+
+    # ---- combine (integrator.trace_rays epilogue parity) -------------------
+    nol = _saturate(_dot3(normal, diff_dir))
+    indirect = tuple(
+        jnp.where(
+            no_ind,
+            0.0,
+            jnp.where(cosine > 0.5, sec[k] * M_PI, sec[k] * (nol * TWO_PI)),
+        )
+        for k in range(3)
+    )
+    ratio = jnp.where(
+        pdf > 1e-30,
+        brdf / jnp.maximum(pdf, 1e-30),
+        (exponent + 2.0) / (exponent + 1.0),
+    )
+    cosi = _saturate(-_dot3(d, normal))
+    pw5 = jnp.power(1.0 - cosi, 5.0)
+    color = []
+    show_direct = const_ref[1, F_SHOW_DIRECT] > 0.5
+    show_albedo = const_ref[1, F_SHOW_ALBEDO] > 0.5
+    show_fresnel = const_ref[1, F_SHOW_FRESNEL] > 0.5
+    show_ispec = const_ref[1, F_SHOW_IND_SPEC] > 0.5
+    show_idiff = const_ref[1, F_SHOW_IND_DIFF] > 0.5
+    for k in range(3):
+        specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
+        f0 = at[A_SPECULAR + k]
+        fresnel = jnp.where(spec_active, f0 + (1.0 - f0) * pw5, 0.0)
+        albedo = at[A_ALBEDO + k]
+        diffuse_comp = (direct[k] + indirect[k]) / M_PI
+        emissive = at[A_EMISSIVE + k] * at[A_ESTR]
+        full = emissive + albedo * diffuse_comp + refl * specular * fresnel
+        c = full
+        c = jnp.where(show_direct, albedo * direct[k] / M_PI, c)
+        c = jnp.where(show_albedo, albedo, c)
+        c = jnp.where(show_fresnel, fresnel, c)
+        c = jnp.where(show_ispec, refl * specular * fresnel, c)
+        c = jnp.where(show_idiff, albedo * indirect[k] / M_PI, c)
+        c = jnp.where(hit, c, env_primary[k])
+        color.append(_sanitize(c))
+
+    @pl.when(s == 0)
+    def _init():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    for k in range(3):
+        out_ref[k, :] = out_ref[k, :] + color[k]
+
+
+def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
+    """Static eligibility for the megakernel path."""
+    if mode != "progressive" or ao_only:
+        return False
+    if "bvh" in scene:
+        return False
+    if int(scene["mt_pack"].shape[1]) > MAX_TRIS:
+        return False
+    return int(scene["env"]["kind"]) in (0, 1)
+
+
+def _pick_tile(c: int) -> int:
+    return 2048 if c <= 64 else 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "env_kind", "interpret"),
+)
+def fused_progressive_sum(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum of S progressive samples, one kernel launch.
+
+    cameras: CameraParams pytree stacked on a leading [S] axis (jitter
+    already drawn per sample; origin offset applied here at jitter_scale=30,
+    ProgressiveRaytracing.hlsl:28-30 / integrator.primary_ray_grid).
+    Returns [H, W, 3] float32 (divide by S for the mean).
+    """
+    s_count = int(cameras["frame_count"].shape[0])
+    n = width * height
+    c = int(scene["mt_pack"].shape[1])
+    tile_r = _pick_tile(c)
+    r_pad = -(-n // tile_r) * tile_r
+
+    # --- camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12) ------------
+    jit = cameras["jitter"] * 30.0  # jitter_scale, progressive
+    origin = cameras["eye"] + jnp.concatenate(
+        [jit, jnp.zeros((s_count, 1), jnp.float32)], axis=1
+    )
+    cam_pack = jnp.concatenate(
+        [
+            origin,
+            cameras["u"],
+            cameras["v"],
+            cameras["w"],
+            jnp.zeros((s_count, 4), jnp.float32),
+        ],
+        axis=1,
+    )
+
+    # --- lights / env / flags pack [2, 16] ----------------------------------
+    dl = scene["lights"]["dir"]
+    pt = scene["lights"]["point"]
+    fwd = dl["forward"]
+    n2 = jnp.sum(fwd * fwd)
+    inv = jnp.where(n2 > 1e-8, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-8)), 0.0)
+    dl_dir = -fwd * inv
+    env = scene["env"]
+    env0 = env["const_color"] if env_kind == 0 else env["grad_horizon"]
+    env1 = jnp.zeros(3, jnp.float32) if env_kind == 0 else env["grad_zenith"]
+    row0 = jnp.concatenate(
+        [
+            dl_dir,
+            dl["color"] * dl["intensity"],
+            pt["position"],
+            pt["color"] * pt["intensity"],
+            env0,
+            env["strength"][None],
+        ]
+    )
+    opts = options
+    flags = jnp.stack(
+        [
+            opts["cosine_hemisphere_sampling"].astype(jnp.float32),
+            opts["no_indirect_diffuse"].astype(jnp.float32),
+            (opts["debug"] == 2).astype(jnp.float32),
+            opts["show_direct_lighting_only"].astype(jnp.float32),
+            opts["show_gbuffer_albedo_only"].astype(jnp.float32),
+            opts["show_fresnel_term"].astype(jnp.float32),
+            opts["show_indirect_specular_only"].astype(jnp.float32),
+            opts["show_indirect_diffuse_only"].astype(jnp.float32),
+        ]
+    )
+    row1 = jnp.concatenate([flags, env1, jnp.zeros(5, jnp.float32)])
+    const_pack = jnp.stack([row0, row1])
+
+    # --- RNG draws u1..u5 per sample (TEA seed + LCG chain, outside) --------
+    def draws_for(fc):
+        seeds = rng.pixel_seeds(width, height, fc).reshape(-1)
+        rows = []
+        s = seeds
+        for _ in range(N_DRAWS):
+            s, u = rng.next_rand(s)
+            rows.append(u)
+        return jnp.stack(rows)  # [5, N]
+
+    draws = jax.vmap(draws_for)(cameras["frame_count"])  # [S, 5, N]
+    draws = jnp.pad(draws, ((0, 0), (0, 3), (0, r_pad - n)))
+    draws = draws.reshape(s_count * 8, r_pad)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            width=width,
+            height=height,
+            tile_r=tile_r,
+            env_kind=env_kind,
+        ),
+        grid=(r_pad // tile_r, s_count),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (4, c, 16), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((32, c), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (8, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        interpret=interpret,
+    )(cam_pack, const_pack, scene["mt_pack"], scene["attr_pack"], draws)
+
+    return out[:3, :n].T.reshape(height, width, 3)

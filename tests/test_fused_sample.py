@@ -1,0 +1,161 @@
+"""Fused megakernel vs the jnp wavefront oracle (interpret mode on CPU).
+
+The megakernel (ops/fused_sample_pallas.py) must reproduce the wavefront
+integrator sample-for-sample: identical RNG draw routing, identical shading
+epilogue, hit-for-hit identical intersections (modulo fp reassociation on
+knife-edge pairs).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxrexperiments_tpu.core.camera import Camera, camera_params
+from dxrexperiments_tpu.models.progressive import make_progressive_step
+from dxrexperiments_tpu.ops import fused_sample_pallas
+from dxrexperiments_tpu.scene import Scene, cornell_box, envmap
+from dxrexperiments_tpu.scene.lights import directional_light, point_light
+from dxrexperiments_tpu.trace import default_options, render_sample
+
+W = H = 64
+
+
+def cornell(env="const"):
+    mesh, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    if env == "const":
+        sc.environment = envmap.constant_env((0.05, 0.1, 0.2), strength=1.5)
+    else:
+        sc.environment = envmap.gradient_env()
+    return sc.build()
+
+
+def cam_stack(frames, jitters=None):
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    cams = [
+        camera_params(
+            cam,
+            jitter=(0.0, 0.0) if jitters is None else jitters[i],
+            frame_count=f,
+        )
+        for i, f in enumerate(frames)
+    ]
+    return cams
+
+
+def fused_one(scene, options, cam):
+    cams = jax.tree.map(lambda x: x[None], cam)
+    env_kind = int(scene["env"]["kind"])
+    return fused_sample_pallas.fused_progressive_sum(
+        scene, options, cams, W, H, env_kind, interpret=True
+    )
+
+
+def oracle_one(scene, options, cam):
+    return render_sample(
+        scene, options, cam, W, H, mode="progressive", impl="jnp",
+        env_kind=int(scene["env"]["kind"]),
+    )["color"]
+
+
+def assert_images_match(got, want, frac=0.005, tol=1e-3):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    diff = np.abs(got - want)
+    # Knife-edge pairs may resolve differently under fp reassociation;
+    # almost all pixels must agree tightly.
+    bad = (diff > tol).any(axis=-1).mean()
+    assert bad <= frac, f"{bad:.4%} pixels differ by more than {tol}"
+    assert float(np.median(diff)) < 1e-5
+
+
+OPTION_CASES = [
+    {},
+    {"debug": 2},
+    {"no_indirect_diffuse": True},
+    {"cosine_hemisphere_sampling": False},
+    {"show_direct_lighting_only": True},
+    {"show_gbuffer_albedo_only": True},
+    {"show_fresnel_term": True},
+    {"show_indirect_specular_only": True},
+    {"show_indirect_diffuse_only": True},
+    {"debug": 2, "no_indirect_diffuse": True},
+]
+
+
+@pytest.mark.parametrize("opts", OPTION_CASES)
+def test_fused_matches_oracle_options(opts):
+    scene = cornell()
+    options = default_options(**opts)
+    cam = cam_stack([7], jitters=[(0.3 / W, -0.2 / H)])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want)
+
+
+def test_fused_gradient_env():
+    scene = cornell(env="gradient")
+    options = default_options()
+    cam = cam_stack([3])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want)
+
+
+def test_fused_multi_sample_sum():
+    """S-sample fused dispatch == sum of S single-sample oracles."""
+    scene = cornell()
+    options = default_options()
+    frames = [0, 1, 2, 3]
+    jitters = [(0.1 / W, 0.0), (-0.2 / W, 0.1 / H), (0.0, -0.3 / H), (0.25 / W, 0.25 / H)]
+    cams = cam_stack(frames, jitters)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    got = fused_sample_pallas.fused_progressive_sum(
+        scene, options, stacked, W, H, 0, interpret=True
+    )
+    want = sum(oracle_one(scene, options, c) for c in cams)
+    assert_images_match(got, want, tol=4e-3)
+
+
+def test_make_progressive_step_uses_fused_and_matches():
+    """The step factory's fused path equals its wavefront path."""
+    scene = cornell()
+    options = default_options()
+    cams = cam_stack([0, 1], jitters=[(0.0, 0.0), (0.1 / W, -0.1 / H)])
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    stacked["accum_count"] = jnp.zeros((2,), jnp.float32)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    mi = jnp.asarray(1024, jnp.int32)
+
+    step_fused = make_progressive_step(
+        scene, W, H, samples_per_step=2, impl="pallas_interpret"
+    )
+    step_ref = make_progressive_step(
+        scene, W, H, samples_per_step=2, impl="jnp"
+    )
+    got = step_fused(accum, options, stacked, scene["lights"], scene["env"], mi)
+    want = step_ref(accum, options, stacked, scene["lights"], scene["env"], mi)
+    assert_images_match(got, want, tol=2e-3)
+
+
+def test_supports_fused_gating():
+    scene = cornell()
+    assert fused_sample_pallas.supports_fused(scene, "progressive", False)
+    assert not fused_sample_pallas.supports_fused(scene, "progressive", True)
+    assert not fused_sample_pallas.supports_fused(scene, "realtime", False)
+    big = dict(scene, mt_pack=jnp.zeros((4, 512, 16)))
+    assert not fused_sample_pallas.supports_fused(big, "progressive", False)
+    lat = dict(scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32)))
+    assert not fused_sample_pallas.supports_fused(lat, "progressive", False)
