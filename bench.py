@@ -26,8 +26,8 @@ import time
 sys.path.insert(0, "/root/repo")
 
 WIDTH = HEIGHT = 512
-SAMPLES_PER_DISPATCH = 8  # SPP batching (amortizes raygen/dispatch overhead)
-DISPATCHES = 6
+SAMPLES_PER_DISPATCH = 16  # SPP batching (amortizes raygen/dispatch overhead)
+DISPATCHES = 8
 REPS = 3
 BASELINE_MRAYS = 500.0
 

@@ -339,7 +339,7 @@ def _fused_kernel(
     const_ref,  # SMEM [2, 16]
     mt_ref,  # VMEM [4, C, 16]
     attr_ref,  # VMEM [32, C]
-    draws_ref,  # VMEM [8, TILE_R] (rows 0..4 = u1..u5 for this sample)
+    seed_ref,  # VMEM [1, 1, TILE_R] uint32 (TEA pixel seeds for this sample)
     out_ref,  # VMEM [8, TILE_R] (rows 0..2 = summed color)
     *,
     width: int,
@@ -367,11 +367,17 @@ def _fused_kernel(
     d = tuple(dun[k] / norm for k in range(3))
     o = tuple(cam_ref[s, 0 + k] + 0.0 * d[0] for k in range(3))
 
-    u1 = draws_ref[0, :]
-    u2 = draws_ref[1, :]
-    u3 = draws_ref[2, :]
-    u4 = draws_ref[3, :]
-    u5 = draws_ref[4, :]
+    # LCG draws u1..u5 from the TEA pixel seed (nextRand parity,
+    # RaytracingUtils.hlsli:41-45) — integer ops on lanes, 3 per draw.
+    seed = seed_ref[0, 0, :]
+    us_draws = []
+    for _ in range(N_DRAWS):
+        seed = seed * jnp.uint32(1664525) + jnp.uint32(1013904223)
+        # Mosaic has no uint32->f32 cast; the masked value fits in 24 bits,
+        # so the int32 route is exact.
+        masked = (seed & jnp.uint32(0x00FFFFFF)).astype(jnp.int32)
+        us_draws.append(masked.astype(jnp.float32) / jnp.float32(0x01000000))
+    u1, u2, u3, u4, u5 = us_draws
     is_mc = const_ref[1, F_IS_MC] > 0.5
     no_ind = const_ref[1, F_NO_IND] > 0.5
     cosine = const_ref[1, F_COSINE]
@@ -488,7 +494,7 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
 
 
 def _pick_tile(c: int) -> int:
-    return 2048 if c <= 64 else 1024
+    return 4096 if c <= 64 else 1024
 
 
 @functools.partial(
@@ -569,19 +575,11 @@ def fused_progressive_sum(
     row1 = jnp.concatenate([flags, env1, jnp.zeros(5, jnp.float32)])
     const_pack = jnp.stack([row0, row1])
 
-    # --- RNG draws u1..u5 per sample (TEA seed + LCG chain, outside) --------
-    def draws_for(fc):
-        seeds = rng.pixel_seeds(width, height, fc).reshape(-1)
-        rows = []
-        s = seeds
-        for _ in range(N_DRAWS):
-            s, u = rng.next_rand(s)
-            rows.append(u)
-        return jnp.stack(rows)  # [5, N]
-
-    draws = jax.vmap(draws_for)(cameras["frame_count"])  # [S, 5, N]
-    draws = jnp.pad(draws, ((0, 0), (0, 3), (0, r_pad - n)))
-    draws = draws.reshape(s_count * 8, r_pad)
+    # --- TEA pixel seeds per sample (outside; LCG draws run in-kernel) ------
+    lin = jnp.arange(r_pad, dtype=jnp.uint32)
+    seeds = jax.vmap(
+        lambda fc: rng.init_rand(lin, fc.astype(jnp.uint32))
+    )(cameras["frame_count"])[:, None, :]  # [S, 1, r_pad] uint32
 
     out = pl.pallas_call(
         functools.partial(
@@ -600,7 +598,7 @@ def fused_progressive_sum(
             ),
             pl.BlockSpec((32, c), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (8, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
+                (1, 1, tile_r), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -608,6 +606,6 @@ def fused_progressive_sum(
         ),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         interpret=interpret,
-    )(cam_pack, const_pack, scene["mt_pack"], scene["attr_pack"], draws)
+    )(cam_pack, const_pack, scene["mt_pack"], scene["attr_pack"], seeds)
 
     return out[:3, :n].T.reshape(height, width, 3)
