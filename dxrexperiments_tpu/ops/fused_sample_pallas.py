@@ -144,13 +144,23 @@ def _hemisphere_dir(n, r0, r1, cosine_flag):
     )
 
 
+USE_MXU_TERMS = False  # measured 2.2x SLOWER on v5e (65.5 vs 29.2 ms/dispatch): HIGHEST
+# f32-emulation at K=16 cannot beat the 19 VPU FMA sweeps even at R=4096.
+
+
 def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
     """Möller–Trumbore validity/t for all (tri, ray) pairs.
 
     o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar.
-    Identical math/order to intersect_pallas._pair_block (which this kernel
-    must agree with hit-for-hit). Returns (valid, t_pair, us, vs, det_abs),
-    each [C, TILE_R]; t_pair None when need_t=False.
+    Same math as intersect_pallas._pair_block (which this kernel must agree
+    with hit-for-hit up to fp reassociation). Returns (valid, t_pair, us,
+    vs, det_abs), each [C, TILE_R]; t_pair None when need_t=False.
+
+    With USE_MXU_TERMS the four term groups are ONE [4C,16]@[16,R] matmul
+    at HIGHEST precision: the MXU computes the 19 FMA sweeps while the VPU
+    handles the sign/window mask — the units overlap, and at R=4096 the
+    matmul is throughput- (not latency-) bound, unlike the per-chunk shapes
+    in intersect_pallas where HIGHEST small-K dots measured 18x slow.
     """
     ob = [o[k][None, :] for k in range(3)]
     db = [d[k][None, :] for k in range(3)]
@@ -160,27 +170,51 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
         ob[0] * db[1] - ob[1] * db[0],
     ]
 
-    def col(g, k):
-        return mt_ref[g, :, k][:, None]
+    c = mt_ref.shape[0] // 4
+    if USE_MXU_TERMS:
+        lhs = jnp.concatenate(
+            db
+            + m
+            + ob
+            + [jnp.full_like(db[0], 1.0)]
+            + [jnp.zeros_like(db[0])] * 6,
+            axis=0,
+        )  # [16, R] rows: D, M, O, 1, pad
+        terms = jax.lax.dot_general(
+            mt_ref[:, :],
+            lhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        det = terms[0:c]
+        u_d = terms[c : 2 * c]
+        v_d = terms[2 * c : 3 * c]
+        t_d = terms[3 * c : 4 * c]
+    else:
+        def col(g, k):
+            return mt_ref[g * c : (g + 1) * c, k][:, None]
 
-    det = db[0] * col(0, 0) + db[1] * col(0, 1) + db[2] * col(0, 2)
-    u_d = (
-        db[0] * col(1, 0)
-        + db[1] * col(1, 1)
-        + db[2] * col(1, 2)
-        + m[0] * col(1, 3)
-        + m[1] * col(1, 4)
-        + m[2] * col(1, 5)
-    )
-    v_d = (
-        db[0] * col(2, 0)
-        + db[1] * col(2, 1)
-        + db[2] * col(2, 2)
-        + m[0] * col(2, 3)
-        + m[1] * col(2, 4)
-        + m[2] * col(2, 5)
-    )
-    t_d = ob[0] * col(3, 6) + ob[1] * col(3, 7) + ob[2] * col(3, 8) + col(3, 9)
+        det = db[0] * col(0, 0) + db[1] * col(0, 1) + db[2] * col(0, 2)
+        u_d = (
+            db[0] * col(1, 0)
+            + db[1] * col(1, 1)
+            + db[2] * col(1, 2)
+            + m[0] * col(1, 3)
+            + m[1] * col(1, 4)
+            + m[2] * col(1, 5)
+        )
+        v_d = (
+            db[0] * col(2, 0)
+            + db[1] * col(2, 1)
+            + db[2] * col(2, 2)
+            + m[0] * col(2, 3)
+            + m[1] * col(2, 4)
+            + m[2] * col(2, 5)
+        )
+        t_d = (
+            ob[0] * col(3, 6) + ob[1] * col(3, 7) + ob[2] * col(3, 8) + col(3, 9)
+        )
 
     s = jnp.sign(det)
     det_abs = det * s
@@ -190,15 +224,18 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
     eps = jnp.float32(1e-12)
     alive = (det > eps) if cull else (det_abs > eps)
     tmin_b = (tmin[None, :] if getattr(tmin, "ndim", 0) else tmin) * det_abs
-    tmax_b = (tmax[None, :] if getattr(tmax, "ndim", 0) else tmax) * det_abs
     valid = (
         alive
         & (us >= 0.0)
         & (vs >= 0.0)
         & (us + vs <= det_abs)
         & (ts > tmin_b)
-        & (ts < tmax_b)
     )
+    # tmax=None means RAY_MAX_T: ts < 1e38*det_abs is always true for finite
+    # scene coordinates, so 8 of the 9 sweeps skip the mul+cmp+and entirely.
+    if tmax is not None:
+        tmax_b = (tmax[None, :] if getattr(tmax, "ndim", 0) else tmax) * det_abs
+        valid = valid & (ts < tmax_b)
     if not need_t:
         return valid, None, us, vs, det_abs
     t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
@@ -284,7 +321,7 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active):
     d2 = jnp.maximum(_dot3(path, path), 0.0)
     dist = jnp.sqrt(d2)
     lp, _ = _normalize3(path)
-    occ_d = _any_hit(mt_ref, pos, dl, RAY_EPSILON, RAY_MAX_T)
+    occ_d = _any_hit(mt_ref, pos, dl, RAY_EPSILON, None)
     occ_p = _any_hit(
         mt_ref, pos, lp, RAY_EPSILON, jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
     )
@@ -311,7 +348,7 @@ def _secondary_radiance(
     """Depth-1 radiance: closest hit, direct lighting, emissive — specular
     and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
     parity). Returns 3-tuple [TILE_R]."""
-    h = _closest_hit(mt_ref, attr_ref, o, d, RAY_EPSILON, RAY_MAX_T, cull=False)
+    h = _closest_hit(mt_ref, attr_ref, o, d, RAY_EPSILON, None, cull=False)
     hit = h["hit"] & active
     env = _env_color(d, const_ref, env_kind)
     direct = _direct_lighting(
@@ -337,7 +374,7 @@ def _sanitize(x):
 def _fused_kernel(
     cam_ref,  # SMEM [S, 16]
     const_ref,  # SMEM [2, 16]
-    mt_ref,  # VMEM [4, C, 16]
+    mt_ref,  # VMEM [4*C, 16] (term-group-major Möller–Trumbore coefficients)
     attr_ref,  # VMEM [32, C]
     seed_ref,  # VMEM [1, 1, TILE_R] uint32 (TEA pixel seeds for this sample)
     out_ref,  # VMEM [8, TILE_R] (rows 0..2 = summed color)
@@ -383,7 +420,7 @@ def _fused_kernel(
     cosine = const_ref[1, F_COSINE]
 
     # ---- primary closest hit (cull backfaces, ProgressiveRaytracing.hlsl:34)
-    h = _closest_hit(mt_ref, attr_ref, o, d, 0.0, RAY_MAX_T, cull=True)
+    h = _closest_hit(mt_ref, attr_ref, o, d, 0.0, None, cull=True)
     hit = h["hit"]
     pos, normal, at = h["pos"], h["normal"], h["at"]
     env_primary = _env_color(d, const_ref, env_kind)
@@ -594,7 +631,7 @@ def fused_progressive_sum(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (4, c, 16), lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM
+                (4 * c, 16), lambda i, s: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec((32, c), lambda i, s: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -606,6 +643,12 @@ def fused_progressive_sum(
         ),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
         interpret=interpret,
-    )(cam_pack, const_pack, scene["mt_pack"], scene["attr_pack"], seeds)
+    )(
+        cam_pack,
+        const_pack,
+        scene["mt_pack"].reshape(4 * c, 16),
+        scene["attr_pack"],
+        seeds,
+    )
 
     return out[:3, :n].T.reshape(height, width, 3)
