@@ -272,6 +272,90 @@ def build_bvh_sah(
     }
 
 
+def collapse_wide(
+    nodes_lo: np.ndarray,
+    nodes_hi: np.ndarray,
+    child: np.ndarray,
+    width: int = 8,
+) -> dict:
+    """Collapse explicit binary node arrays into WIDTH-wide nodes.
+
+    The TPU-native wide-BVH step (SURVEY §7 hard part 1: "shallow wide BVH
+    (BVH4/8 -> vectorized node tests)"): starting at each wide root we
+    repeatedly expand the largest-surface-area internal slot until `width`
+    slots are filled, so one packet slab test covers 8 subtrees on sublanes.
+    Binary leaves are kept verbatim (same slot ranges), so the wide tree
+    shares its triangle layout with the binary one.
+
+    Returns {"w_lo"/"w_hi" [W, width, 3] f32, "w_child" [W, width] f32,
+    "w_count" [W, width] f32} with the encoding:
+      internal slot: w_child = wide child id,  w_count = -1
+      leaf slot:     w_child = -(start+1),     w_count = tri count
+      empty slot:    w_child = 0,              w_count = 0, box at +BIG
+    """
+    big = np.float32(3.0e38)
+    m = len(child)
+    if m == 0:
+        return {
+            "w_lo": np.full((1, width, 3), big, np.float32),
+            "w_hi": np.full((1, width, 3), big, np.float32),
+            "w_child": np.zeros((1, width), np.float32),
+            "w_count": np.zeros((1, width), np.float32),
+        }
+    ext = np.maximum(nodes_hi - nodes_lo, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    is_leaf = child[:, 0] < 0
+
+    w_lo, w_hi, w_child, w_count = [], [], [], []
+    # (wide_id, slot, binary_node) patches for internal slots filled after
+    # their subtree's wide id is known.
+    wide_of_binary: dict[int, int] = {}
+    todo = [0]
+    while todo:
+        b_root = todo.pop()
+        slots = [int(b_root)]
+        while len(slots) < width:
+            cand = [s for s in slots if not is_leaf[s]]
+            if not cand:
+                break
+            s = max(cand, key=lambda n: area[n])
+            slots.remove(s)
+            slots.extend((int(child[s, 0]), int(child[s, 1])))
+        wid = len(w_lo)
+        wide_of_binary[int(b_root)] = wid
+        lo = np.full((width, 3), big, np.float32)
+        hi = np.full((width, 3), big, np.float32)
+        cv = np.zeros((width,), np.float32)
+        cn = np.zeros((width,), np.float32)
+        for k, s in enumerate(slots):
+            lo[k] = nodes_lo[s]
+            hi[k] = nodes_hi[s]
+            if is_leaf[s]:
+                cv[k] = float(child[s, 0])  # already -(start+1)
+                cn[k] = float(child[s, 1])
+            else:
+                cv[k] = float(s)  # patched to wide id below
+                cn[k] = -1.0
+                todo.append(int(s))
+        w_lo.append(lo)
+        w_hi.append(hi)
+        w_child.append(cv)
+        w_count.append(cn)
+
+    w_child = np.stack(w_child)
+    w_count = np.stack(w_count)
+    internal = w_count < -0.5
+    w_child[internal] = np.vectorize(
+        lambda b: float(wide_of_binary[int(b)])
+    )(w_child[internal]) if internal.any() else w_child[internal]
+    return {
+        "w_lo": np.stack(w_lo),
+        "w_hi": np.stack(w_hi),
+        "w_child": w_child,
+        "w_count": w_count,
+    }
+
+
 def traverse_nodes_numpy(nodes: dict, tri_test, o, d, t_min, t_max) -> tuple:
     """Scalar host traversal of explicit node arrays (correctness oracle)."""
     inv_d = 1.0 / np.where(np.abs(d) > 1e-12, d, 1e-12)

@@ -106,8 +106,27 @@ def pack_for_traversal(
     slot_tri_pad = np.full((s_pad,), -1, np.int32)
     slot_tri_pad[:s] = slot_tri.astype(np.int32)
 
+    # 8-wide collapse of the same tree (same regularized leaf ranges):
+    # kernel layout [W*8, 8] — per wide node an [8 children, 8 fields] tile
+    # (lo3, hi3, child, count) loaded with one 8-aligned sublane slice.
+    from ..accel.bvh import collapse_wide
+
+    wide = collapse_wide(
+        np.asarray(nodes["nodes_lo"], np.float32),
+        np.asarray(nodes["nodes_hi"], np.float32),
+        new_child.astype(np.int64),
+        width=8,
+    )
+    w = wide["w_lo"].shape[0]
+    bvh8 = np.zeros((w * 8, 8), np.float32)
+    bvh8[:, 0:3] = wide["w_lo"].reshape(w * 8, 3)
+    bvh8[:, 3:6] = wide["w_hi"].reshape(w * 8, 3)
+    bvh8[:, 6] = wide["w_child"].reshape(w * 8)
+    bvh8[:, 7] = wide["w_count"].reshape(w * 8)
+
     out = {
         "bvh_nodes": jnp.asarray(bvh_nodes),
+        "bvh8_nodes": jnp.asarray(bvh8),
         "mt_rows": jnp.asarray(mt_rows),
         "slot_tri": jnp.asarray(slot_tri_pad),
         "leaf_size": leaf_size,
@@ -333,6 +352,170 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
     return kernel
 
 
+def _make_traverse8_kernel(K: int, cull: bool, occlusion: bool):
+    """8-wide packet traversal: child AABBs ride SUBLANES, so one [8, TILE]
+    slab test covers 8 subtrees in the same VPU cycles the binary kernel
+    spends on one — cutting scalar while-loop trips by the collapse factor
+    (SURVEY §7 hard part 1; ROADMAP perf lever 1)."""
+
+    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, pend_ref,
+               mt_scratch, sem):
+        o = [rays_ref[k, :][None, :] for k in range(3)]
+        d = [rays_ref[3 + k, :][None, :] for k in range(3)]
+        mom = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+        tmin = rays_ref[6, :]
+        tmax = rays_ref[7, :]
+        inv = [
+            1.0 / jnp.where(jnp.abs(d[k]) > 1e-12, d[k], 1e-12) for k in range(3)
+        ]
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        out_ref[0, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        stack_ref[0] = 0
+
+        def process_slot(slot):
+            start = pend_ref[2 * slot]
+            count = pend_ref[2 * slot + 1]
+            valid, ts, det_abs, us, vs = _leaf_pair_test(
+                mt_scratch.at[slot], o, d, mom, tmin, tmax, cull, count, K
+            )
+            if occlusion:
+                occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
+            else:
+                eps = jnp.float32(1e-12)
+                t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+                c_t = jnp.min(t_pair, axis=0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+                c_row = jnp.min(
+                    jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                    axis=0,
+                )
+                sel = (rows == c_row[None, :]).astype(jnp.float32)
+                inv_det = 1.0 / jnp.maximum(jnp.sum(det_abs * sel, axis=0), 1e-12)
+                c_u = jnp.sum(us * sel, axis=0) * inv_det
+                c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                c_slot = (c_row + start).astype(jnp.float32)
+                better = c_t < out_ref[0, :]
+                out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
+                out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
+                out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
+                out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+
+        def cond(carry):
+            sp, done, _q = carry
+            return (sp > 0) & ~done
+
+        def body(carry):
+            sp, _, q0 = carry
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            base = pl.multiple_of(node * 8, 8)
+            blk = nodes_ref[pl.ds(base, 8), :]  # [8 children, 8 fields]
+
+            t0s = [(blk[:, k : k + 1] - o[k]) * inv[k] for k in range(3)]
+            t1s = [(blk[:, 3 + k : 4 + k] - o[k]) * inv[k] for k in range(3)]
+            tn = jnp.broadcast_to(tmin[None, :], t0s[0].shape)
+            if occlusion:
+                tf = jnp.broadcast_to(tmax[None, :], t0s[0].shape)
+                tf = jnp.where(out_ref[4, :][None, :] > 0.5, -BIG, tf)
+            else:
+                tf = jnp.broadcast_to(
+                    jnp.minimum(tmax, out_ref[0, :])[None, :], t0s[0].shape
+                )
+            for k in range(3):
+                tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+            hits = jnp.max((tn <= tf).astype(jnp.float32), axis=1)  # [8]
+
+            def do_child(c, sp_in, q_in):
+                cv = blk[c, 6]
+                cn = blk[c, 7]
+                h = hits[c] > 0.5
+                push = h & (cn < -0.5)
+
+                @pl.when(push)
+                def _push():
+                    stack_ref[sp_in] = cv.astype(jnp.int32)
+
+                do_leaf = h & (cn > 0.5)
+
+                @pl.when(do_leaf)
+                def _enqueue():
+                    start = (-cv - 1.0).astype(jnp.int32)
+                    count = cn.astype(jnp.int32)
+                    slot = q_in % 2
+                    pend_ref[2 * slot] = start
+                    pend_ref[2 * slot + 1] = count
+                    row_start = pl.multiple_of(start, 8)
+                    pltpu.make_async_copy(
+                        mt_hbm.at[pl.ds(row_start, K), :],
+                        mt_scratch.at[slot],
+                        sem.at[slot],
+                    ).start()
+
+                    @pl.when(q_in >= 1)
+                    def _process_prev():
+                        prev = (q_in - 1) % 2
+                        pltpu.make_async_copy(
+                            mt_hbm.at[pl.ds(0, K), :],
+                            mt_scratch.at[prev],
+                            sem.at[prev],
+                        ).wait()
+                        process_slot(prev)
+
+                return (
+                    sp_in + jnp.where(push, 1, 0),
+                    q_in + jnp.where(do_leaf, 1, 0),
+                )
+
+            q = q0
+            for c in range(8):
+                sp, q = do_child(c, sp, q)
+
+            if occlusion:
+                done = (jnp.min(out_ref[4, :]) > 0.5) & (q == q0)
+            else:
+                done = jnp.bool_(False)
+            return sp, done, q
+
+        if occlusion:
+            dead = (
+                (jnp.abs(rays_ref[3, :]) + jnp.abs(rays_ref[4, :]) + jnp.abs(rays_ref[5, :]))
+                < 1e-30
+            )
+            out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
+
+        _, _, q_final = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
+        )
+
+        @pl.when(q_final >= 1)
+        def _drain():
+            prev = (q_final - 1) % 2
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(0, K), :],
+                mt_scratch.at[prev],
+                sem.at[prev],
+            ).wait()
+            process_slot(prev)
+
+        if occlusion:
+            out_ref[4, :] = jnp.where(out_ref[4, :] > 1.5, 0.0, out_ref[4, :])
+
+        if not occlusion:
+            t = out_ref[0, :]
+            hit = t < BIG
+            out_ref[0, :] = jnp.where(hit, t, -1.0)
+            out_ref[4, :] = hit.astype(jnp.float32)
+
+    return kernel
+
+
 def _pack_rays(origins, directions, t_min, t_max):
     r = origins.shape[0]
     r_pad = -(-r // TILE_R) * TILE_R
@@ -396,6 +579,95 @@ def traverse_closest(
         "u": jnp.where(hit, out[2], 0.0),
         "v": jnp.where(hit, out[3], 0.0),
     }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "cull_backface", "interpret")
+)
+def traverse8_closest(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    cull_backface: bool = False,
+    interpret: bool = False,
+) -> dict:
+    """Closest hit via 8-wide packet BVH traversal (see _make_traverse8_kernel).
+
+    Same contract as traverse_closest."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    out = pl.pallas_call(
+        _make_traverse8_kernel(leaf_size, cull_backface, occlusion=False),
+        grid=(r_pad // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wide nodes, whole array
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rays, bvh["bvh8_nodes"], bvh["mt_rows"])
+
+    out = out[:, :r]
+    hit = out[4] > 0.5
+    slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)
+    tri = jnp.where(hit, bvh["slot_tri"][slot], -1)
+    return {
+        "hit": hit,
+        "t": out[0],
+        "tri": tri,
+        "slot": jnp.where(hit, slot, -1),
+        "u": jnp.where(hit, out[2], 0.0),
+        "v": jnp.where(hit, out[3], 0.0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))
+def traverse8_any(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Occlusion via 8-wide packet BVH traversal with all-occluded early exit."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max)
+    out = pl.pallas_call(
+        _make_traverse8_kernel(leaf_size, False, occlusion=True),
+        grid=(r_pad // TILE_R,),
+        in_specs=[
+            pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rays, bvh["bvh8_nodes"], bvh["mt_rows"])
+    return out[4, :r] > 0.5
 
 
 @functools.partial(jax.jit, static_argnames=("leaf_size", "interpret"))

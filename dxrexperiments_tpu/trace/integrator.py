@@ -78,19 +78,64 @@ def resolve_impl(impl: str) -> str:
     return impl
 
 
-def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
+def _ray_sort_order(scene: dict, origins, directions):
+    """Packet-coherence sort key for BVH traversal: 12-bit origin Morton
+    cell (within the root AABB) + 3-bit direction octant. Stable argsort
+    keeps the primary block order within each cell, so sorted packets share
+    both origin locality and direction octant — the wavefront ray-reordering
+    step (SURVEY §7 perf pass: "ray sorting/compaction between bounces")."""
+    bvhn = scene["bvh"]["bvh_nodes"]
+    lo = bvhn[0:3, 0]
+    hi = bvhn[3:6, 0]
+    q = jnp.clip((origins - lo) / jnp.maximum(hi - lo, 1e-6), 0.0, 1.0)
+    cell = jnp.minimum((q * 16.0).astype(jnp.int32), 15)
+
+    def part(x):
+        x = (x | (x << 4)) & 0x0F0F
+        x = (x | (x << 2)) & 0x3333
+        x = (x | (x << 1)) & 0x5555
+        return x
+
+    morton = (
+        (part(cell[:, 0]) << 2) | (part(cell[:, 1]) << 1) | part(cell[:, 2])
+    )
+    octant = (
+        (directions[:, 0] < 0).astype(jnp.int32) * 4
+        + (directions[:, 1] < 0).astype(jnp.int32) * 2
+        + (directions[:, 2] < 0).astype(jnp.int32)
+    )
+    return jnp.argsort((morton << 3) | octant, stable=True)
+
+
+def _trace_closest(
+    scene, origins, directions, t_min, t_max, cull, impl: str,
+    sort_rays: bool = False,
+):
     """Closest hit + hit attributes, dispatched to the chosen backend.
 
     Returns (hit, position, normal, mat) where mat is the per-ray material
     field dict — the Pallas kernel returns attributes fused (no gathers), the
     jnp path interpolates/gathers after the hit.
+
+    sort_rays: re-tile incoherent rays by (origin cell, octant) before
+    packet traversal (BVH path only); results are scattered back.
     """
     impl = resolve_impl(impl)
     if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
-        # Large scene: packet BVH traversal + gather-based attribute fetch.
+        # Large scene: packet BVH traversal + gather-based attribute fetch
+        # (8-wide kernel when the scene pack carries the collapsed tree).
         from ..ops import traverse_pallas
         from ..scene.scene import BVH_LEAF_SIZE
 
+        # binary kernel preferred: the 8-wide kernel's per-child scalar
+        # extracts outweigh its visit reduction (57.9 vs 42.6 ms on the
+        # 200k-tri blocked benchmark); revisit after its scalar path thins.
+        order = _ray_sort_order(scene, origins, directions) if sort_rays else None
+        if order is not None:
+            origins = origins[order]
+            directions = directions[order]
+            if getattr(t_max, "ndim", 0):
+                t_max = t_max[order]
         hits = traverse_pallas.traverse_closest(
             scene["bvh"],
             origins,
@@ -101,6 +146,12 @@ def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
             cull_backface=cull,
             interpret=(impl == "pallas_interpret"),
         )
+        if order is not None:
+            hits = {
+                k: jnp.zeros_like(v).at[order].set(v) for k, v in hits.items()
+            }
+            origins = jnp.zeros_like(origins).at[order].set(origins)
+            directions = jnp.zeros_like(directions).at[order].set(directions)
         position, normal, mat = _interpolate_hit(scene, hits, origins, directions)
         return hits["hit"], position, normal, mat
     if impl in ("pallas", "pallas_interpret"):
@@ -131,13 +182,22 @@ def _trace_closest(scene, origins, directions, t_min, t_max, cull, impl: str):
     return hits["hit"], position, normal, mat
 
 
-def _trace_any(scene, origins, directions, t_min, t_max, impl: str):
+def _trace_any(
+    scene, origins, directions, t_min, t_max, impl: str,
+    sort_rays: bool = False,
+):
     impl = resolve_impl(impl)
     if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
         from ..ops import traverse_pallas
         from ..scene.scene import BVH_LEAF_SIZE
 
-        return traverse_pallas.traverse_any(
+        order = _ray_sort_order(scene, origins, directions) if sort_rays else None
+        if order is not None:
+            origins = origins[order]
+            directions = directions[order]
+            if getattr(t_max, "ndim", 0):
+                t_max = t_max[order]
+        occ = traverse_pallas.traverse_any(
             scene["bvh"],
             origins,
             directions,
@@ -146,6 +206,9 @@ def _trace_any(scene, origins, directions, t_min, t_max, impl: str):
             leaf_size=BVH_LEAF_SIZE,
             interpret=(impl == "pallas_interpret"),
         )
+        if order is not None:
+            occ = jnp.zeros_like(occ).at[order].set(occ)
+        return occ
     if impl in ("pallas", "pallas_interpret"):
         return intersect_pallas.trace_any(
             scene,
@@ -208,7 +271,10 @@ def _eval_point_light(scene, position, normal, active, impl):
     return light["color"] * light["intensity"] * (nol * visible * falloff)[..., None]
 
 
-def _direct_lighting(scene, options, position, normal, seed, active, impl):
+def _direct_lighting(
+    scene, options, position, normal, seed, active, impl,
+    sort_shadows: bool = False,
+):
     """Direct term with the debug==2 one-of-two-lights MC estimator
     (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3]).
 
@@ -240,6 +306,7 @@ def _direct_lighting(scene, options, position, normal, seed, active, impl):
             ]
         ),
         impl,
+        sort_rays=sort_shadows,
     )
     d_vis = jnp.where(active & ~occ[:n], 1.0, 0.0)
     p_vis = jnp.where(active & ~occ[n:], 1.0, 0.0)
@@ -297,13 +364,21 @@ def _secondary_radiance(
     env_kind: int | None = None,
 ):
     is_hit, position, normal, mat = _trace_closest(
-        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull=False, impl=impl
+        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull=False,
+        impl=impl,
+        # NOTE: sort_rays measured NEGATIVE here on the 983k-tri instanced
+        # scene (68 s vs 46 s / 16 spp): argsort+scatter overhead exceeded
+        # the union reduction. Kept available as an opt-in for scenes where
+        # bounce-ray unions actually shrink (see test_ray_sorting).
     )
     hit = is_hit & active
     env_col = sample_environment(scene["env"], directions, env_kind)
 
     seed = seeds  # shade() re-seeds identically per invocation
-    seed, direct = _direct_lighting(scene, options, position, normal, seed, hit, impl)
+    seed, direct = _direct_lighting(
+        scene, options, position, normal, seed, hit, impl,
+        sort_shadows=False,  # measured negative (see note above)
+    )
 
     if mode == "progressive":
         # emissive + albedo * direct / pi  (ProgressiveRaytracing.hlsl:112,147)
@@ -476,6 +551,30 @@ def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
 
 GEO_CONST_LIMIT_BYTES = 8 * 1024 * 1024
 
+# Packet-locality blocking: the traversal kernels share one stack per
+# 2048-ray packet, so a packet's cost is the UNION of the nodes its rays
+# visit. Raster-order packets are 4-row slabs across the whole image (huge
+# unions); re-tiling the grid into 32x64-pixel blocks makes each packet a
+# compact frustum — measured 17x on 200k-tri closest-hit (713 -> 42.6 ms,
+# benchmarks/traversal_micro.py). The permutation is a compile-time
+# constant; secondary/shadow rays inherit the blocked order for free and
+# only the final images un-permute.
+BLOCK_H, BLOCK_W = 32, 64
+
+
+@functools.lru_cache(maxsize=16)
+def _block_perm(height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(perm, inv_perm) mapping raster order -> 32x64-block order."""
+    lin = np.arange(height * width, dtype=np.int32).reshape(height, width)
+    blocked = (
+        lin.reshape(height // BLOCK_H, BLOCK_H, width // BLOCK_W, BLOCK_W)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1)
+    )
+    inv = np.empty_like(blocked)
+    inv[blocked] = np.arange(height * width, dtype=np.int32)
+    return blocked, inv
+
 
 def _geo_bytes(geo: dict) -> int:
     return sum(int(np.prod(x.shape)) * x.dtype.itemsize for x in jax.tree.leaves(geo))
@@ -564,12 +663,25 @@ def render_sample(
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
     seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
+
+    blocked = (
+        "bvh" in scene
+        and resolve_impl(impl) in ("pallas", "pallas_interpret")
+        and height % BLOCK_H == 0
+        and width % BLOCK_W == 0
+    )
+    if blocked:
+        perm, inv_perm = _block_perm(height, width)
+        o, d, seeds = o[perm], d[perm], seeds[perm]
+
     out = trace_rays(
         scene, options, o, d, seeds,
         mode=mode, ao_only=ao_only, impl=impl, env_kind=env_kind,
     )
     reshaped = {}
     for k, v in out.items():
+        if blocked:
+            v = v[inv_perm]
         if v.ndim == 2:
             reshaped[k] = v.reshape(height, width, v.shape[-1])
         else:
