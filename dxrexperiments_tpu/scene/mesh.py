@@ -383,11 +383,14 @@ def load_mesh(path: str, on_error: str = "fallback") -> Mesh:
             from .gltf import load_gltf
 
             return load_gltf(path)
-        if ext in (".fbx", ".dae"):
-            raise NotImplementedError(
-                f"{ext} import requires assimp bindings, not present in this "
-                "environment; convert to OBJ/PLY/glTF."
-            )
+        if ext == ".fbx":
+            from .fbx import load_fbx
+
+            return load_fbx(path)
+        if ext == ".dae":
+            from .collada import load_collada
+
+            return load_collada(path)
         raise ValueError(f"unknown mesh format {ext!r}")
     except Exception:
         if on_error == "fallback":
