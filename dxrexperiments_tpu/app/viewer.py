@@ -21,11 +21,24 @@ Keys:
   m / M        halve / double progressive max iterations
   n / N        denoiser kernel radius - / +
   t            denoiser tonemap toggle     o / O  exposure - / +
+  r / R        material 0 roughness - / +        (accumulation restarts)
+  f / F        material 0 reflectivity - / +
+  b / B        material 0 albedo darker / brighter
+  u / U        directional light intensity - / +
+  y / Y        point light intensity - / +
+  h / H        cycle directional / point light color
   p            save PNG screenshot   x  quit
+
+Live terminal resize re-creates output resources each frame (parity with
+WM_SIZE handling, /root/reference/src/DXRExperimentsApp.cpp:257-271).
+Material/light edits mirror the reference's imgui sliders with the
+frameDirty accumulation restart
+(/root/reference/src/ProgressiveRaytracingPipeline.cpp:253-267,309-311).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import os
 import select
 import sys
@@ -42,9 +55,19 @@ from ..core.timer import StepTimer
 from ..models.denoise import DenoiseCompositor, linear_to_srgb, reinhard_tonemap
 from ..models.progressive import ProgressiveRaytracingPipeline
 from ..models.realtime import RealtimeRaytracingPipeline
+from ..scene.materials import Material
+from ..scene.scene import rebake_material
 from ..utils.image import write_png
 from ..utils.stats import FrameStats
 from .headless import build_scene
+
+LIGHT_PALETTE = [
+    (1.0, 1.0, 1.0),
+    (1.0, 0.85, 0.6),
+    (0.6, 0.75, 1.0),
+    (1.0, 0.4, 0.4),
+    (0.5, 1.0, 0.6),
+]
 
 AOV_KEYS = {
     "2": "show_gbuffer_albedo_only",
@@ -136,6 +159,14 @@ class ViewerApp:
         self.ao_only = False
         self.screenshot_counter = 0
         self.message = ""
+        # host-side copy of material 0 for live editing (the reference's
+        # imgui material panel edits material 0 only)
+        self.mat0 = (
+            dataclasses.replace(self.scene.materials[0])
+            if self.scene.materials
+            else Material()
+        )
+        self._palette_idx = {"dir": 0, "point": 0}
 
     @property
     def pipeline(self):
@@ -224,6 +255,32 @@ class ViewerApp:
                 cur = cur * 1.25 if k == "O" else cur / 1.25
                 self.denoiser.params["exposure"] = jnp.asarray(cur, jnp.float32)
                 self.message = f"exposure: {cur:.2f}"
+            elif k in "rR":
+                self._edit_material(
+                    "roughness", lambda v: min(1.0, max(0.0, v + (0.1 if k == "R" else -0.1)))
+                )
+            elif k in "fF":
+                self._edit_material(
+                    "reflectivity", lambda v: min(1.0, max(0.0, v + (0.1 if k == "F" else -0.1)))
+                )
+            elif k in "bB":
+                s = 1.25 if k == "B" else 1.0 / 1.25
+                self._edit_material(
+                    "albedo",
+                    lambda a: tuple(min(c * s, 1.0) for c in a[:3]) + (a[3],),
+                )
+            elif k in "uU":
+                self._edit_light("dir", scale=1.25 if k == "U" else 1 / 1.25)
+            elif k in "yY":
+                self._edit_light("point", scale=1.25 if k == "Y" else 1 / 1.25)
+            elif k in "hH":
+                which = "dir" if k == "h" else "point"
+                self._palette_idx[which] = (self._palette_idx[which] + 1) % len(
+                    LIGHT_PALETTE
+                )
+                self._edit_light(
+                    which, color=LIGHT_PALETTE[self._palette_idx[which]]
+                )
             elif k == "p":
                 self.screenshot_counter += 1
                 path = f"screenshot_{self.screenshot_counter:03d}.png"
@@ -235,6 +292,56 @@ class ViewerApp:
         for p in self.pipelines:
             if hasattr(p, "mark_dirty"):
                 p.mark_dirty()
+
+    def _edit_material(self, field: str, fn) -> None:
+        """Edit material 0 and re-bake the fused attribute tables — the
+        imgui material sliders + frameDirty restart
+        (/root/reference/src/ProgressiveRaytracingPipeline.cpp:253-267)."""
+        self.mat0 = dataclasses.replace(
+            self.mat0, **{field: fn(getattr(self.mat0, field))}
+        )
+        for p in self.pipelines:
+            p.scene_data = rebake_material(p.scene_data, 0, self.mat0)
+        self._dirty()
+        val = getattr(self.mat0, field)
+        self.message = (
+            f"material[0].{field}: "
+            + (f"{val:.2f}" if isinstance(val, float) else f"{tuple(round(v, 2) for v in val)}")
+        )
+
+    def _edit_light(self, which: str, scale: float | None = None, color=None):
+        """Light color/intensity edits (the reference's two light panels,
+        ProgressiveRaytracingPipeline.cpp:253-258). Lights are per-frame
+        args, so no recompile — just the dirty accumulation restart."""
+        for p in self.pipelines:
+            lights = {k: dict(v) for k, v in p.scene_data["lights"].items()}
+            lt = lights[which]
+            if scale is not None:
+                lt["intensity"] = jnp.asarray(
+                    float(lt["intensity"]) * scale, jnp.float32
+                )
+            if color is not None:
+                lt["color"] = jnp.asarray(color, jnp.float32)
+            p.scene_data = dict(p.scene_data, lights=lights)
+        self._dirty()
+        lt = self.pipeline.scene_data["lights"][which]
+        self.message = (
+            f"{which} light: intensity {float(lt['intensity']):.2f}, "
+            f"color {tuple(round(float(c), 2) for c in np.asarray(lt['color']))}"
+        )
+
+    def resize(self, width: int, height: int) -> None:
+        """Re-create output resources on size change (WM_SIZE parity,
+        /root/reference/src/DXRExperimentsApp.cpp:257-271)."""
+        if (width, height) == (self.width, self.height):
+            return
+        self.width, self.height = width, height
+        self.camera.set_aspect(width, height)
+        for p in self.pipelines:
+            p.create_output_resource(width, height)
+        self.denoiser.reset_history()
+        self.stats = FrameStats(width, height)
+        self.message = f"resized to {width}x{height}"
 
     def _env_scale(self, f):
         self.env_strength *= f
@@ -321,8 +428,15 @@ def main(argv=None) -> int:
 
     sys.stdout.write("\x1b[2J")  # clear
     frames = 0
+    fit_terminal = args.size is None
     with RawKeyboard() as kb:
         while True:
+            if fit_terminal:
+                # live resize: re-create outputs when the terminal changes
+                # (WM_SIZE parity, DXRExperimentsApp.cpp:257-271)
+                w, h = display.size()
+                w, h = min(w, 200), min(h - h % 2, 140)
+                app.resize(w, h)
             keys = kb.poll() if scripted is None else ([scripted.pop(0)] if scripted else ["x"])
             inp, quit_requested = app.handle_keys(keys)
             if quit_requested:

@@ -274,3 +274,38 @@ class Scene:
             scene_dict["bvh"] = packed
 
         return scene_dict
+
+
+def rebake_material(scene: dict, index: int, material: Material) -> dict:
+    """Return a scene pytree with material `index` replaced.
+
+    The live material-editing path (parity with the reference's imgui
+    material sliders + frameDirty accumulation restart,
+    /root/reference/src/ProgressiveRaytracingPipeline.cpp:253-267,309-311):
+    updates the stacked material table AND re-derives the fused attr_pack
+    rows (and the traversal attr_sorted mirror when present) from the
+    unchanged per-triangle mat_id. Pipelines whose compiled steps bake
+    geometry as constants recompile on the new identity — the analogue of
+    the SBT rewrite the reference performs each frame.
+    """
+    m = stack_materials([material])
+    mats = {k: scene["materials"][k].at[index].set(m[k][0]) for k in m}
+    mid = scene["mat_id"]
+    attr = scene["attr_pack"]
+    attr = attr.at[10:13].set(mats["albedo"][mid].T)
+    attr = attr.at[13:16].set(mats["specular"][mid].T)
+    attr = attr.at[16:19].set(mats["emissive"][mid].T)
+    attr = attr.at[19].set(mats["emissive_strength"][mid])
+    attr = attr.at[20].set(mats["reflectivity"][mid])
+    attr = attr.at[21].set(mats["roughness"][mid])
+    attr = attr.at[22].set(mats["ior"][mid])
+    attr = attr.at[23].set(mats["type"][mid].astype(jnp.float32))
+    out = dict(scene, materials=mats, attr_pack=attr)
+    if "bvh" in scene and "attr_sorted" in scene["bvh"]:
+        slot = scene["bvh"]["slot_tri"]
+        src = jnp.maximum(slot, 0)
+        out["bvh"] = dict(
+            scene["bvh"],
+            attr_sorted=jnp.where(slot[None, :] >= 0, attr[:, src], 0.0),
+        )
+    return out
