@@ -165,6 +165,21 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--tonemap", action="store_true", help="Reinhard+gamma the progressive output")
     ap.add_argument(
+        "--accel",
+        default="auto",
+        choices=["auto", "two-level"],
+        help="acceleration structure: auto = flattened world-space build "
+        "(BVH above the size threshold); two-level = shared per-mesh BLAS + "
+        "refittable instance TLAS (the RtScene analogue; required for "
+        "--animate-instances)",
+    )
+    ap.add_argument(
+        "--animate-instances",
+        action="store_true",
+        help="spin instance transforms each frame via TLAS refit "
+        "(two-level scenes; no re-bake, no recompile)",
+    )
+    ap.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (cpu|tpu|axon); this machine's axon plugin "
@@ -202,10 +217,22 @@ def main(argv=None) -> int:
             }[args.aov]
             pipe.options[key] = jnp.asarray(True)
         pipe.set_camera(camera)
-        pipe.set_scene(scene)
+        if args.accel == "two-level" or args.animate_instances:
+            pipe.set_scene_data(scene.build_two_level())
+        else:
+            pipe.set_scene(scene)
+        base_tf = np.stack([inst.transform for inst in scene.instances])
 
         t0 = time.perf_counter()
         for frame in range(args.spp):
+            if args.animate_instances:
+                yaw = 0.05 * frame
+                c, s = np.cos(yaw), np.sin(yaw)
+                rot = np.eye(4, dtype=np.float32)
+                rot[0, 0], rot[0, 2], rot[2, 0], rot[2, 2] = c, s, -s, c
+                pipe.set_instance_transforms(
+                    jnp.asarray(np.einsum("ij,njk->nik", rot, base_tf))
+                )
             pipe.update(elapsed_time=frame / 60.0, elapsed_frames=frame)
             out = pipe.render()
             stats.frame()

@@ -47,6 +47,12 @@ class RaytracingPipeline(abc.ABC):
         self.owns_lights = scene.lights is None
         self.scene_data = scene.build()
 
+    def set_scene_data(self, scene_data: dict) -> None:
+        """Attach an already-lowered scene pytree (e.g. from
+        Scene.build_two_level()) instead of re-lowering a Scene graph."""
+        self.owns_lights = False
+        self.scene_data = scene_data
+
     def add_material(self, material: Material) -> None:
         self.materials.append(material)
 

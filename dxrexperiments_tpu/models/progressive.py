@@ -77,6 +77,7 @@ def make_progressive_step(
     ao_only: bool = False,
     samples_per_step: int = 1,
     impl: str = "auto",
+    dynamic: bool = False,
 ):
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
@@ -162,7 +163,7 @@ def make_progressive_step(
             None,
         )
 
-    if _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+    if not dynamic and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
         @jax.jit
         def step(accum, options, camera, lights, env, max_iterations):
             return _step_impl(
@@ -171,12 +172,17 @@ def make_progressive_step(
 
         return step
 
-    # Large scene: geometry as runtime args (constants blow the compile
-    # payload; see trace.integrator.make_render_step).
+    # Large scene OR dynamic instancing: geometry as runtime args (constants
+    # blow the compile payload / would recompile per refit; see
+    # trace.integrator.make_render_step). `geo_arg` lets animated two-level
+    # scenes pass each frame's refitted TLAS without recompiling.
     inner = jax.jit(_step_impl)
 
-    def step(accum, options, camera, lights, env, max_iterations):
-        return inner(accum, options, camera, lights, env, max_iterations, geo)
+    def step(accum, options, camera, lights, env, max_iterations, geo_arg=None):
+        return inner(
+            accum, options, camera, lights, env, max_iterations,
+            geo if geo_arg is None else geo_arg,
+        )
 
     return step
 
@@ -252,15 +258,41 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
             lights = default_lights(elapsed_time)
             self.scene_data = dict(self.scene_data, lights=lights)
 
+    def set_instance_transforms(self, transforms) -> None:
+        """Animate instance transforms via TLAS refit (two-level scenes
+        only): O(instances) device work per frame, no geometry re-bake, no
+        recompile — the D3D12 update-build path
+        (/root/reference/Helpers/TopLevelASGenerator.cpp with
+        PERFORM_UPDATE). Restarts accumulation (the scene changed)."""
+        from ..scene.dynamic import refit_scene_instances
+
+        if "tlas" not in self.scene_data:
+            raise ValueError("set_instance_transforms needs a two-level scene "
+                             "(Scene.build_two_level)")
+        self.scene_data = refit_scene_instances(self.scene_data, transforms)
+        self._dynamic_instances = True
+        self.mark_dirty()
+
     def _step_fn(self):
         # Recompile only when geometry identity or static config changes
         # (lights/env stay arguments, so animation never recompiles).
-        geo_key = (
-            self.width, self.height, self.ao_only, self.samples_per_frame
-        ) + tuple(
-            id(v) for k, v in sorted(self.scene_data.items())
-            if k not in ("lights", "env")
-        )
+        # Dynamic two-level scenes key on SHAPES instead of identities:
+        # per-frame TLAS refits produce new arrays but reuse the compiled
+        # geometry-as-args step.
+        dynamic = getattr(self, "_dynamic_instances", False)
+        cfg = (self.width, self.height, self.ao_only, self.samples_per_frame,
+               dynamic)
+        if dynamic:
+            geo_key = cfg + tuple(
+                (k,) + tuple(jnp.shape(leaf) for leaf in jax.tree.leaves(v))
+                for k, v in sorted(self.scene_data.items())
+                if k not in ("lights", "env")
+            )
+        else:
+            geo_key = cfg + tuple(
+                id(v) for k, v in sorted(self.scene_data.items())
+                if k not in ("lights", "env")
+            )
         if getattr(self, "_geo_key", None) != geo_key:
             self._step = make_progressive_step(
                 self.scene_data,
@@ -268,12 +300,13 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
                 self.height,
                 self.ao_only,
                 samples_per_step=self.samples_per_frame,
+                dynamic=dynamic,
             )
             self._geo_key = geo_key
         return self._step
 
     def render(self) -> jnp.ndarray:
-        self.accum = self._step_fn()(
+        args = (
             self.accum,
             self.options,
             self._camera_params,
@@ -281,6 +314,14 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
             self.scene_data["env"],
             jnp.asarray(self.max_iterations, jnp.int32),
         )
+        if getattr(self, "_dynamic_instances", False):
+            geo = {
+                k: v for k, v in self.scene_data.items()
+                if k not in ("lights", "env")
+            }
+            self.accum = self._step_fn()(*args, geo_arg=geo)
+        else:
+            self.accum = self._step_fn()(*args)
         return self.accum
 
     def get_output(self, index: int = 0) -> jnp.ndarray:

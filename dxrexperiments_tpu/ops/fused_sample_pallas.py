@@ -523,9 +523,15 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     """Static eligibility for the megakernel path."""
     if mode != "progressive" or ao_only:
         return False
-    if "bvh" in scene:
+    if "bvh" in scene or "tlas" in scene:
         return False
     if int(scene["mt_pack"].shape[1]) > MAX_TRIS:
+        return False
+    from ..scene.lights import light_counts
+
+    if light_counts(scene["lights"]) != (1, 1):
+        # The megakernel bakes the reference's fixed 1 dir + 1 point rig;
+        # arbitrary rigs take the wavefront path (integrator._direct_lighting).
         return False
     return int(scene["env"]["kind"]) in (0, 1)
 
@@ -577,8 +583,11 @@ def fused_progressive_sum(
     )
 
     # --- lights / env / flags pack [2, 16] ----------------------------------
-    dl = scene["lights"]["dir"]
-    pt = scene["lights"]["point"]
+    # (accepts the single-light or stacked [1, ...] rig forms)
+    dl = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
+          for k, v in scene["lights"]["dir"].items()}
+    pt = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
+          for k, v in scene["lights"]["point"].items()}
     fwd = dl["forward"]
     n2 = jnp.sum(fwd * fwd)
     inv = jnp.where(n2 > 1e-8, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-8)), 0.0)

@@ -24,6 +24,21 @@ import jax
 import jax.numpy as jnp
 
 
+def refit_scene_instances(scene: dict, transforms) -> dict:
+    """Per-frame animation for TWO-LEVEL scenes (Scene.build_two_level):
+    recompute the TLAS boxes + instance inverse/normal matrices for new
+    [I, 4, 4] transforms — O(instances) device work, no triangle re-bake, no
+    BVH rebuild. The analogue of a D3D12 TLAS update-build
+    (/root/reference/Helpers/TopLevelASGenerator.cpp:85-203 with
+    PERFORM_UPDATE). Render via make_render_step(..., dynamic=True) so the
+    refitted arrays flow as jit arguments (no recompile per frame)."""
+    from ..accel import tlas as tlas_mod
+
+    ctx = scene["tlas_meta"].value["refit_ctx"]
+    dyn = tlas_mod.refit_instances_arrays(ctx, transforms)
+    return dict(scene, tlas=dict(scene["tlas"], **dyn))
+
+
 def prepare_base(base_scene: dict, num_instances: int) -> dict:
     """Static inputs for the jitted bake: the base mesh's object-space arrays
     (from Scene.build of the base mesh alone) + instance count."""

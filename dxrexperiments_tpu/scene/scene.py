@@ -276,6 +276,131 @@ class Scene:
         return scene_dict
 
 
+    # -- two-level lowering ------------------------------------------------ #
+    def build_two_level(self) -> dict[str, Any]:
+        """Lower to the two-level TLAS/BLAS pytree (accel/tlas.py): one
+        object-space BLAS per UNIQUE mesh (shared by all its instances), a
+        refittable TLAS over instance AABBs, per-instance inverse transforms.
+
+        The analogue of the reference's real TLAS build
+        (/root/reference/libs/DXRFramework/RtScene.cpp:27-51) — unlike
+        ``build()``, geometry is NOT flattened per instance, so memory is
+        O(unique geometry) and animating transforms is a pure TLAS refit
+        (scene/dynamic.py:refit_scene_instances).
+        """
+        from ..accel import tlas as tlas_mod
+
+        materials = list(self.materials)
+        mat_offset_for_mesh: dict[int, int] = {}
+        mesh_index: dict[int, int] = {}
+        meshes_geo = []  # (v0, e1, e2) per unique mesh
+        mesh_attr = []  # (n0, n1, n2, mat_id) per unique mesh
+        inst_mesh = np.zeros((len(self.instances),), np.int64)
+        transforms = np.zeros((len(self.instances), 4, 4), np.float32)
+        overrides = np.full((len(self.instances),), -1, np.int64)
+
+        for inst_idx, inst in enumerate(self.instances):
+            mesh = inst.mesh
+            key = id(mesh)
+            if key not in mesh_index:
+                mesh_index[key] = len(meshes_geo)
+                tri = mesh.indices
+                p0 = mesh.positions[tri[:, 0]]
+                p1 = mesh.positions[tri[:, 1]]
+                p2 = mesh.positions[tri[:, 2]]
+                if mesh.materials:
+                    if key not in mat_offset_for_mesh:
+                        mat_offset_for_mesh[key] = len(materials)
+                        materials.extend(mesh.materials)
+                    mid = mesh.material_ids + mat_offset_for_mesh[key]
+                else:
+                    mid = np.clip(
+                        mesh.material_ids, 0, max(len(materials) - 1, 0)
+                    )
+                meshes_geo.append(
+                    (
+                        p0.astype(np.float32),
+                        (p1 - p0).astype(np.float32),
+                        (p2 - p0).astype(np.float32),
+                    )
+                )
+                mesh_attr.append(
+                    (
+                        mesh.normals[tri[:, 0]].astype(np.float32),
+                        mesh.normals[tri[:, 1]].astype(np.float32),
+                        mesh.normals[tri[:, 2]].astype(np.float32),
+                        mid.astype(np.int32),
+                    )
+                )
+            inst_mesh[inst_idx] = mesh_index[key]
+            transforms[inst_idx] = inst.transform
+            if inst.material_override is not None:
+                overrides[inst_idx] = inst.material_override
+
+        if not materials:
+            materials = [Material()]
+        if not meshes_geo:
+            raise ValueError("two-level build requires at least one instance")
+
+        tl, ctx = tlas_mod.build_two_level(
+            meshes_geo, inst_mesh, transforms, overrides,
+            leaf_size=BVH_LEAF_SIZE,
+        )
+
+        # Concatenated object-space attribute / oracle arrays.
+        v0 = np.concatenate([g[0] for g in meshes_geo])
+        e1 = np.concatenate([g[1] for g in meshes_geo])
+        e2 = np.concatenate([g[2] for g in meshes_geo])
+        pn = np.cross(e1, e2)
+        c1 = np.cross(v0, e2)
+        c2 = np.cross(v0, e1)
+        d0 = np.sum(v0 * pn, axis=-1)
+        n0 = np.concatenate([a[0] for a in mesh_attr])
+        n1 = np.concatenate([a[1] for a in mesh_attr])
+        n2 = np.concatenate([a[2] for a in mesh_attr])
+        mid = np.concatenate([a[3] for a in mesh_attr])
+
+        ranges = []
+        base = 0
+        for g in meshes_geo:
+            ranges.append((base, base + len(g[0])))
+            base += len(g[0])
+
+        num_tris = int(
+            sum(len(meshes_geo[int(m)][0]) for m in inst_mesh)
+        )
+        lights = self.lights if self.lights is not None else default_lights()
+        env = (
+            self.environment
+            if self.environment is not None
+            else envmap_mod.constant_env((0.0, 0.0, 0.0))
+        )
+        return {
+            "tlas": tl,
+            "tlas_meta": tlas_mod.HostStatic({
+                "num_instances": ctx.num_instances,
+                "slot_mesh": inst_mesh[ctx.inst_order].astype(np.int32),
+                "mesh_tri_ranges": ranges,
+                "refit_ctx": ctx,
+            }),
+            "v0_obj": jnp.asarray(v0.astype(np.float32)),
+            "e1_obj": jnp.asarray(e1.astype(np.float32)),
+            "e2_obj": jnp.asarray(e2.astype(np.float32)),
+            "pn_obj": jnp.asarray(pn.astype(np.float32)),
+            "c1_obj": jnp.asarray(c1.astype(np.float32)),
+            "c2_obj": jnp.asarray(c2.astype(np.float32)),
+            "d0_obj": jnp.asarray(d0.astype(np.float32)),
+            "n0_obj": jnp.asarray(n0),
+            "n1_obj": jnp.asarray(n1),
+            "n2_obj": jnp.asarray(n2),
+            "mat_id_obj": jnp.asarray(mid),
+            "materials": stack_materials(materials),
+            "lights": lights,
+            "env": env,
+            "num_tris": jnp.asarray(num_tris, jnp.int32),
+        }
+
+
 def rebake_material(scene: dict, index: int, material: Material) -> dict:
     """Return a scene pytree with material `index` replaced.
 

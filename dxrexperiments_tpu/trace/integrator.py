@@ -121,6 +121,29 @@ def _trace_closest(
     packet traversal (BVH path only); results are scattered back.
     """
     impl = resolve_impl(impl)
+    if "tlas" in scene:
+        # Two-level TLAS/BLAS scene (accel/tlas.py): shared per-mesh BLAS +
+        # instance transforms — the true RtScene analogue
+        # (/root/reference/libs/DXRFramework/RtScene.cpp:27-51).
+        if impl in ("pallas", "pallas_interpret"):
+            from ..ops import traverse2_pallas
+            from ..scene.scene import BVH_LEAF_SIZE
+
+            hits = traverse2_pallas.traverse2_closest(
+                scene["tlas"], origins, directions, t_min, t_max,
+                leaf_size=BVH_LEAF_SIZE, cull_backface=cull,
+                interpret=(impl == "pallas_interpret"),
+            )
+        else:
+            from ..accel import tlas as tlas_mod
+
+            hits = tlas_mod.two_level_closest_jnp(
+                scene, origins, directions, t_min, t_max, cull
+            )
+        position, normal, mat = _interpolate_hit_two_level(
+            scene, hits, origins, directions
+        )
+        return hits["hit"], position, normal, mat
     if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
         # Large scene: packet BVH traversal + gather-based attribute fetch
         # (8-wide kernel when the scene pack carries the collapsed tree).
@@ -187,6 +210,19 @@ def _trace_any(
     sort_rays: bool = False,
 ):
     impl = resolve_impl(impl)
+    if "tlas" in scene:
+        if impl in ("pallas", "pallas_interpret"):
+            from ..ops import traverse2_pallas
+            from ..scene.scene import BVH_LEAF_SIZE
+
+            return traverse2_pallas.traverse2_any(
+                scene["tlas"], origins, directions, t_min, t_max,
+                leaf_size=BVH_LEAF_SIZE,
+                interpret=(impl == "pallas_interpret"),
+            )
+        from ..accel import tlas as tlas_mod
+
+        return tlas_mod.two_level_any_jnp(scene, origins, directions, t_min, t_max)
     if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
         from ..ops import traverse_pallas
         from ..scene.scene import BVH_LEAF_SIZE
@@ -225,6 +261,30 @@ def _gather_material(materials: dict, mat_id: jnp.ndarray) -> dict:
     return {k: v[mat_id] for k, v in materials.items()}
 
 
+def _interpolate_hit_two_level(scene: dict, hits: dict, origins, directions):
+    """Attribute interpolation for two-level hits: barycentrics over the
+    OBJECT-space vertex normals, then the per-instance normal matrix
+    (inv(R)^T, accel/tlas.py) back to world; material id comes from the mesh
+    unless the instance carries an override — the SBT-hit-record analogue
+    (/root/reference/src/ProgressiveRaytracingPipeline.cpp:220-226)."""
+    tri = jnp.maximum(hits["tri"], 0)
+    inst = jnp.maximum(hits["inst"], 0)
+    u, v = hits["u"], hits["v"]
+    w = 1.0 - u - v
+    n_obj = (
+        w[..., None] * scene["n0_obj"][tri]
+        + u[..., None] * scene["n1_obj"][tri]
+        + v[..., None] * scene["n2_obj"][tri]
+    )
+    nm = scene["tlas"]["inst_nm"][inst]  # [N, 3, 3]
+    normal = vm.normalize(jnp.einsum("nij,nj->ni", nm, n_obj))
+    position = origins + hits["t"][..., None] * directions
+    override = scene["tlas"]["inst_mat_override"][inst]
+    mid = jnp.where(override >= 0, override, scene["mat_id_obj"][tri])
+    mat = _gather_material(scene["materials"], mid)
+    return position, normal, mat
+
+
 def _interpolate_hit(scene: dict, hits: dict, origins, directions):
     """Barycentric position/normal + material fetch — the TPU analogue of
     interpolateVertexAttributes + HitWorldPosition
@@ -246,81 +306,88 @@ def _interpolate_hit(scene: dict, hits: dict, origins, directions):
 # --------------------------------------------------------------------------- #
 # Lights (RaytracingCommon.hlsli:126-147)
 # --------------------------------------------------------------------------- #
-def _eval_directional_light(scene, position, normal, active, impl):
-    light = scene["lights"]["dir"]
-    l_dir = vm.normalize(-light["forward"])
-    l_dir_b = jnp.broadcast_to(l_dir, position.shape)
-    nol = vm.saturate(vm.dot(normal, l_dir_b))
-    occluded = _trace_any(scene, position, l_dir_b, RAY_EPSILON, RAY_MAX_T, impl)
-    visible = jnp.where(active & ~occluded, 1.0, 0.0)
-    return light["color"] * light["intensity"] * (nol * visible)[..., None]
-
-
-def _eval_point_light(scene, position, normal, active, impl):
-    light = scene["lights"]["point"]
-    path = light["position"] - position
-    dist = vm.length(path)
-    l_dir = vm.normalize(path)
-    nol = vm.saturate(vm.dot(normal, l_dir))
-    occluded = _trace_any(
-        scene, position, l_dir, RAY_EPSILON,
-        jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON), impl,
-    )
-    visible = jnp.where(active & ~occluded, 1.0, 0.0)
-    falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
-    return light["color"] * light["intensity"] * (nol * visible * falloff)[..., None]
-
-
 def _direct_lighting(
     scene, options, position, normal, seed, active, impl,
     sort_shadows: bool = False,
 ):
-    """Direct term with the debug==2 one-of-two-lights MC estimator
-    (ProgressiveRaytracing.hlsl:92-104). Returns (seed, direct [N,3]).
+    """Direct term over an ARBITRARY light rig (D directional + P point,
+    stacked arrays — see scene.lights.normalize_lights; the reference's
+    fixed 1+1 rig is the D=P=1 case and reproduces it lane-for-lane),
+    including the debug==2 one-of-L-lights MC estimator
+    (ProgressiveRaytracing.hlsl:92-104 generalised: pick uniformly, scale by
+    L; at L=2 the selection and weights match the HLSL bit-exactly).
+    Returns (seed, direct [N,3]).
 
-    Both lights' shadow rays are batched into ONE any-hit launch (the DXR
-    version issues two TraceRay calls; on TPU one [2N]-ray kernel halves
-    launch count with identical results lane-for-lane)."""
+    ALL lights' shadow rays are batched into ONE any-hit launch (the DXR
+    version issues one TraceRay per light; on TPU a single [L*N]-ray kernel
+    keeps launch count constant in L)."""
+    from ..scene.lights import normalize_lights
+
+    lights = normalize_lights(scene["lights"])
+    dl, pl_ = lights["dir"], lights["point"]
+    d_count = int(dl["forward"].shape[0])
+    p_count = int(pl_["position"].shape[0])
+    l_count = d_count + p_count
+    n = position.shape[0]
+
+    if l_count == 0:
+        return seed, jnp.zeros_like(position)
+
     seed_mc, pick = rng.next_rand(seed)
     is_mc = options["debug"] == 2
     # HLSL consumes the picking draw only when debug==2.
     seed_out = jnp.where(is_mc, seed_mc, seed)
 
-    n = position.shape[0]
-    dlight = scene["lights"]["dir"]
-    plight = scene["lights"]["point"]
-    l_dir = jnp.broadcast_to(vm.normalize(-dlight["forward"]), position.shape)
-    path = plight["position"] - position
-    dist = vm.length(path)
-    l_pnt = vm.normalize(path)
+    dirs = []
+    t_maxs = []
+    if d_count:
+        # identical op order to the 1-light path: normalize(-forward)
+        l_dir = jnp.broadcast_to(
+            vm.normalize(-dl["forward"])[:, None, :], (d_count, n, 3)
+        )
+        dirs.append(l_dir)
+        t_maxs.append(jnp.full((d_count, n), RAY_MAX_T, jnp.float32))
+    if p_count:
+        path = pl_["position"][:, None, :] - position[None]  # [P, N, 3]
+        dist = vm.length(path)
+        dirs.append(vm.normalize(path))
+        t_maxs.append(jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON))
 
+    all_dirs = jnp.concatenate(dirs).reshape(l_count * n, 3)
+    all_tmax = jnp.concatenate(t_maxs).reshape(l_count * n)
     occ = _trace_any(
         scene,
-        jnp.concatenate([position, position]),
-        jnp.concatenate([l_dir, l_pnt]),
+        jnp.broadcast_to(position[None], (l_count, n, 3)).reshape(-1, 3),
+        all_dirs,
         RAY_EPSILON,
-        jnp.concatenate(
-            [
-                jnp.full((n,), RAY_MAX_T, jnp.float32),
-                jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON),
-            ]
-        ),
+        all_tmax,
         impl,
         sort_rays=sort_shadows,
-    )
-    d_vis = jnp.where(active & ~occ[:n], 1.0, 0.0)
-    p_vis = jnp.where(active & ~occ[n:], 1.0, 0.0)
+    ).reshape(l_count, n)
+    vis = jnp.where(active[None] & ~occ, 1.0, 0.0)
 
-    nol_d = vm.saturate(vm.dot(normal, l_dir))
-    d_contrib = dlight["color"] * dlight["intensity"] * (nol_d * d_vis)[..., None]
-    nol_p = vm.saturate(vm.dot(normal, l_pnt))
-    falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
-    p_contrib = (
-        plight["color"] * plight["intensity"] * (nol_p * p_vis * falloff)[..., None]
-    )
+    contribs = []
+    if d_count:
+        l_dir = dirs[0]
+        nol = vm.saturate(vm.dot(normal[None], l_dir))
+        contribs.append(
+            (dl["color"] * dl["intensity"][:, None])[:, None, :]
+            * (nol * vis[:d_count])[..., None]
+        )
+    if p_count:
+        l_pnt = dirs[-1]
+        nol = vm.saturate(vm.dot(normal[None], l_pnt))
+        falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
+        contribs.append(
+            (pl_["color"] * pl_["intensity"][:, None])[:, None, :]
+            * (nol * vis[d_count:] * falloff)[..., None]
+        )
+    per_light = jnp.concatenate(contribs)  # [L, N, 3]
 
-    full = d_contrib + p_contrib
-    mc = jnp.where((pick < 0.5)[..., None], d_contrib * 2.0, p_contrib * 2.0)
+    full = jnp.sum(per_light, axis=0)
+    idx = jnp.minimum((pick * l_count).astype(jnp.int32), l_count - 1)
+    sel = (jnp.arange(l_count)[:, None] == idx[None]).astype(jnp.float32)
+    mc = jnp.sum(per_light * sel[..., None], axis=0) * float(l_count)
     return seed_out, jnp.where(is_mc, mc, full)
 
 
@@ -588,6 +655,7 @@ def make_render_step(
     ao_only: bool = False,
     jitter_scale: float = 30.0,
     impl: str = "auto",
+    dynamic: bool = False,
 ):
     """Compile a per-frame render step with the scene GEOMETRY baked in as
     constants — the analogue of compiling an RTPSO for a scene
@@ -603,7 +671,7 @@ def make_render_step(
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
 
-    if _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+    if not dynamic and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
         @jax.jit
         def step(options: dict, camera: dict, lights: dict, env: dict) -> dict:
             full = dict(geo, lights=lights, env=env)
@@ -615,9 +683,11 @@ def make_render_step(
 
         return step
 
-    # Large scene: geometry as runtime arguments (baking it as constants
-    # blows up the compile payload; the per-dispatch argument overhead is
-    # negligible against big-scene frame times).
+    # Large scene OR dynamic instancing: geometry as runtime arguments
+    # (baking it as constants blows up the compile payload / would recompile
+    # per TLAS refit; the per-dispatch argument overhead is negligible
+    # against big-scene frame times). `geo_arg` lets animated two-level
+    # scenes pass each frame's refitted arrays without recompiling.
     @jax.jit
     def inner(options, camera, lights, env, geo_arg):
         full = dict(geo_arg, lights=lights, env=env)
@@ -627,8 +697,8 @@ def make_render_step(
             impl=impl, env_kind=env_kind,
         )
 
-    def step(options, camera, lights, env):
-        return inner(options, camera, lights, env, geo)
+    def step(options, camera, lights, env, geo_arg=None):
+        return inner(options, camera, lights, env, geo if geo_arg is None else geo_arg)
 
     return step
 
@@ -665,7 +735,7 @@ def render_sample(
     seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
 
     blocked = (
-        "bvh" in scene
+        ("bvh" in scene or "tlas" in scene)
         and resolve_impl(impl) in ("pallas", "pallas_interpret")
         and height % BLOCK_H == 0
         and width % BLOCK_W == 0
