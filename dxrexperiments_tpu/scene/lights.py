@@ -35,6 +35,60 @@ def point_light(position, color=DEFAULT_POINT_COLOR) -> dict:
     }
 
 
+def _stack_group(entries, keys) -> dict:
+    """Stack a list of single-light dicts into [K, ...] arrays (K may be 0)."""
+    if not entries:
+        return {
+            k: jnp.zeros((0, 3) if k != "intensity" else (0,), jnp.float32)
+            for k in keys
+        }
+    return {k: jnp.stack([jnp.asarray(e[k], jnp.float32) for e in entries])
+            for k in keys}
+
+
+def dir_lights(entries: list) -> dict:
+    """Stacked directional rig: list of directional_light() dicts -> arrays."""
+    return _stack_group(entries, ("forward", "color", "intensity"))
+
+
+def point_lights(entries: list) -> dict:
+    """Stacked point rig: list of point_light() dicts -> arrays."""
+    return _stack_group(entries, ("position", "color", "intensity"))
+
+
+def normalize_lights(lights: dict) -> dict:
+    """Canonicalize a light rig to stacked arrays.
+
+    Accepts the classic exactly-one-of-each form (single dicts, parity with
+    the reference's fixed DirectionalLightParams + PointLightParams rig,
+    /root/reference/assets/shaders/RaytracingHlslCompat.h:52-62), lists of
+    lights, already-stacked arrays, or missing groups — and returns
+    {"dir": {[D,...]}, "point": {[P,...]}} with D, P >= 0. Pure reshapes, so
+    it is safe to call inside jit (shapes are static per pytree structure).
+    """
+    out = {}
+    for group, keys in (
+        ("dir", ("forward", "color", "intensity")),
+        ("point", ("position", "color", "intensity")),
+    ):
+        g = lights.get(group)
+        if g is None:
+            out[group] = _stack_group([], keys)
+        elif isinstance(g, (list, tuple)):
+            out[group] = _stack_group(list(g), keys)
+        elif jnp.ndim(g[keys[0]]) == 1:  # single light
+            out[group] = {k: jnp.asarray(g[k], jnp.float32)[None] for k in keys}
+        else:  # already stacked
+            out[group] = {k: jnp.asarray(g[k], jnp.float32) for k in keys}
+    return out
+
+
+def light_counts(lights: dict) -> tuple[int, int]:
+    """(num directional, num point) for a rig in any accepted form."""
+    n = normalize_lights(lights)
+    return int(n["dir"]["forward"].shape[0]), int(n["point"]["position"].shape[0])
+
+
 def animated_dir_light_forward(elapsed_time: float) -> np.ndarray:
     """The reference's animated sun: base (0.3, -0.2, -1.0) rotated about Y by
     sin(t*0.2)*pi/2 (/root/reference/src/ProgressiveRaytracingPipeline.cpp:197-199).
