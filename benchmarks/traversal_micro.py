@@ -26,7 +26,7 @@ def main() -> None:
     from dxrexperiments_tpu.scene.procedural import random_triangle_soup
 
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    which = ["binary", "wide"]
+    which = ["binary", "fat"]
     leaf = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     n_rays = 512 * 512
 
@@ -92,6 +92,7 @@ def main() -> None:
     fns = {
         "binary": traverse_pallas.traverse_closest,
         "wide": traverse_pallas.traverse8_closest,
+        "fat": traverse_pallas.traverse_fat_closest,
     }
     for name in which:
         fn = fns[name]

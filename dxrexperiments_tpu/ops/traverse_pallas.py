@@ -106,6 +106,12 @@ def pack_for_traversal(
     slot_tri_pad = np.full((s_pad,), -1, np.int32)
     slot_tri_pad[:s] = slot_tri.astype(np.int32)
 
+    bvhf = fat_nodes(
+        np.asarray(nodes["nodes_lo"], np.float32),
+        np.asarray(nodes["nodes_hi"], np.float32),
+        new_child,
+    )
+
     # 8-wide collapse of the same tree (same regularized leaf ranges):
     # kernel layout [W*8, 8] — per wide node an [8 children, 8 fields] tile
     # (lo3, hi3, child, count) loaded with one 8-aligned sublane slice.
@@ -126,6 +132,7 @@ def pack_for_traversal(
 
     out = {
         "bvh_nodes": jnp.asarray(bvh_nodes),
+        "bvhf_nodes": jnp.asarray(bvhf),
         "bvh8_nodes": jnp.asarray(bvh8),
         "mt_rows": jnp.asarray(mt_rows),
         "slot_tri": jnp.asarray(slot_tri_pad),
@@ -134,6 +141,59 @@ def pack_for_traversal(
     if attr_sorted is not None:
         out["attr_sorted"] = jnp.asarray(attr_sorted)
     return out
+
+
+def fat_nodes(nodes_lo, nodes_hi, child) -> "np.ndarray":
+    """Collapse a regularized binary node array (leaf child[:,0] =
+    -(slot_start+1), child[:,1] = count) into FAT nodes: each row stores its
+    two children's AABBs, so a visit tests both subtrees and can descend
+    near-child-first (front-to-back with best-t pruning — the ordered
+    traversal the reference's Fallback Layer does per GPU thread, expressed
+    packet-wide).
+
+    Layout [16, F_pad] f32 per fat node (internal nodes only, remapped ids):
+      rows 0-5  c0 lo/hi      rows 6-11 c1 lo/hi
+      row 12/14 c0/c1 ptr: leaf -> slot_start, internal -> fat node id
+      row 13/15 c0/c1 meta: leaf -> count (>0), internal -> -1, empty -> 0
+    Empty children get a point box at +BIG (genuinely misses; see the refit
+    note in accel/tlas.py on why inverted boxes pass slab tests).
+    """
+    child = np.asarray(child, np.int64)
+    m = len(child)
+    is_leaf = child[:, 0] < 0
+    internal = np.nonzero(~is_leaf)[0]
+    f = len(internal)
+    f_used = max(f, 1)
+    f_pad = max(-(-f_used // 128) * 128, 128)
+    fat = np.zeros((16, f_pad), np.float32)
+    fat[0:3] = BIG
+    fat[3:6] = BIG
+    fat[6:9] = BIG
+    fat[9:12] = BIG
+    if f == 0:
+        # root is a single leaf: one fat node, c0 = that leaf, c1 empty
+        fat[0:3, 0] = nodes_lo[0]
+        fat[3:6, 0] = nodes_hi[0]
+        fat[12, 0] = float(-child[0, 0] - 1)
+        fat[13, 0] = float(child[0, 1])
+        return fat
+    remap = np.zeros((m,), np.int64)
+    remap[internal] = np.arange(f)
+    for side in range(2):
+        ids = child[internal, side]
+        side_leaf = is_leaf[ids]
+        ptr = np.where(side_leaf, -child[ids, 0] - 1, remap[ids])
+        meta = np.where(side_leaf, child[ids, 1], -1)
+        meta = np.where(side_leaf & (child[ids, 1] <= 0), 0, meta)
+        base = 6 * side
+        fat[base : base + 3, :f] = nodes_lo[ids].T
+        fat[base + 3 : base + 6, :f] = nodes_hi[ids].T
+        fat[12 + 2 * side, :f] = ptr.astype(np.float32)
+        fat[13 + 2 * side, :f] = meta.astype(np.float32)
+        # empty leaves: point box at +BIG
+        empty = meta == 0
+        fat[base : base + 6, :f][:, empty] = BIG
+    return fat
 
 
 def _leaf_pair_test(mt_scratch, o, d, m, tmin, tmax, cull: bool, count, K: int):
@@ -177,16 +237,16 @@ def _leaf_pair_test(mt_scratch, o, d, m, tmin, tmax, cull: bool, count, K: int):
     return valid, ts, det_abs, us, vs
 
 
-def _node_fields(nodes_ref, node):
-    """Extract the 8 node fields at a dynamic index from the [8, M] VMEM
+def _node_fields(nodes_ref, node, rows: int = 8):
+    """Extract the node fields at a dynamic index from the [rows, M] VMEM
     array. Mosaic requires lane-aligned vector loads, so load the 128-wide
     block containing the node and reduce out the wanted lane."""
     blk = pl.multiple_of((node // 128) * 128, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
     sel = lane == (node - blk)
-    block = nodes_ref[:, pl.ds(blk, 128)]  # [8, 128]
-    vals = jnp.sum(jnp.where(sel, block, 0.0), axis=1)  # [8]
-    return [vals[k] for k in range(8)]
+    block = nodes_ref[:, pl.ds(blk, 128)]  # [rows, 128]
+    vals = jnp.sum(jnp.where(sel, block, 0.0), axis=1)  # [rows]
+    return [vals[k] for k in range(rows)]
 
 
 def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
@@ -343,6 +403,199 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
             out_ref[4, :] = jnp.where(out_ref[4, :] > 1.5, 0.0, out_ref[4, :])
 
         # finalize hit flag for closest mode
+        if not occlusion:
+            t = out_ref[0, :]
+            hit = t < BIG
+            out_ref[0, :] = jnp.where(hit, t, -1.0)
+            out_ref[4, :] = hit.astype(jnp.float32)
+
+    return kernel
+
+
+def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
+    """Fat-node packet traversal: each visit tests BOTH children's AABBs
+    (their boxes live in the parent row, see fat_nodes), enqueues leaf
+    children into the double-buffered DMA pipeline, and pushes internal
+    children far-first so the NEAR child pops first. With the best-t clamp
+    in the slab test, near-first descent turns the clamp into real pruning:
+    once close hits land, far subtrees fail `tn <= tf` wholesale. Halves
+    scalar while-loop trips vs the binary kernel (one visit per pair) on
+    top of the ordering win."""
+
+    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, pend_ref,
+               mt_scratch, sem):
+        o = [rays_ref[k, :][None, :] for k in range(3)]
+        d = [rays_ref[3 + k, :][None, :] for k in range(3)]
+        mom = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+        tmin = rays_ref[6, :]
+        tmax = rays_ref[7, :]
+        inv = [
+            1.0 / jnp.where(jnp.abs(d[k]) > 1e-12, d[k], 1e-12) for k in range(3)
+        ]
+
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        out_ref[0, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
+        stack_ref[0] = 0
+
+        def process_slot(slot):
+            start = pend_ref[2 * slot]
+            count = pend_ref[2 * slot + 1]
+            valid, ts, det_abs, us, vs = _leaf_pair_test(
+                mt_scratch.at[slot], o, d, mom, tmin, tmax, cull, count, K
+            )
+            if occlusion:
+                occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
+            else:
+                eps = jnp.float32(1e-12)
+                t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+                c_t = jnp.min(t_pair, axis=0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+                c_row = jnp.min(
+                    jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                    axis=0,
+                )
+                sel = (rows == c_row[None, :]).astype(jnp.float32)
+                inv_det = 1.0 / jnp.maximum(jnp.sum(det_abs * sel, axis=0), 1e-12)
+                c_u = jnp.sum(us * sel, axis=0) * inv_det
+                c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                c_slot = (c_row + start).astype(jnp.float32)
+                better = c_t < out_ref[0, :]
+                out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
+                out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
+                out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
+                out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+
+        def enqueue(ptr, meta, q):
+            start = ptr.astype(jnp.int32)
+            count = meta.astype(jnp.int32)
+            slot = q % 2
+            pend_ref[2 * slot] = start
+            pend_ref[2 * slot + 1] = count
+            row_start = pl.multiple_of(start, 8)
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(row_start, K), :],
+                mt_scratch.at[slot],
+                sem.at[slot],
+            ).start()
+
+            @pl.when(q >= 1)
+            def _process_prev():
+                prev = (q - 1) % 2
+                pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(0, K), :],  # shape-only descriptor
+                    mt_scratch.at[prev],
+                    sem.at[prev],
+                ).wait()
+                process_slot(prev)
+
+        def cond(carry):
+            sp, done, _q = carry
+            return (sp > 0) & ~done
+
+        def body(carry):
+            sp, _, q0 = carry
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            f = _node_fields(nodes_ref, node, rows=16)
+
+            best_t = out_ref[0, :]
+            tf_base = jnp.minimum(tmax, best_t)[None, :]
+            if occlusion:
+                tf_base = jnp.where(out_ref[4, :][None, :] > 0.5, -BIG, tf_base)
+
+            hits = []
+            enters = []
+            for s in range(2):
+                lo = f[6 * s : 6 * s + 3]
+                hi = f[6 * s + 3 : 6 * s + 6]
+                t0s = [(lo[k] - o[k]) * inv[k] for k in range(3)]
+                t1s = [(hi[k] - o[k]) * inv[k] for k in range(3)]
+                tn = tmin[None, :]
+                tf = tf_base
+                for k in range(3):
+                    tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                    tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+                lane_hit = tn <= tf
+                hits.append(jnp.any(lane_hit))
+                enters.append(jnp.min(jnp.where(lane_hit, tn, BIG)))
+
+            ptr0, m0, ptr1, m1 = f[12], f[13], f[14], f[15]
+            leaf0 = hits[0] & (m0 > 0.5)
+            int0 = hits[0] & (m0 < -0.5)
+            leaf1 = hits[1] & (m1 > 0.5)
+            int1 = hits[1] & (m1 < -0.5)
+
+            q = q0
+
+            @pl.when(leaf0)
+            def _leaf0():
+                enqueue(ptr0, m0, q)
+
+            q = q + jnp.where(leaf0, 1, 0)
+
+            @pl.when(leaf1)
+            def _leaf1():
+                enqueue(ptr1, m1, q)
+
+            q = q + jnp.where(leaf1, 1, 0)
+
+            both = int0 & int1
+            c0_near = enters[0] <= enters[1]
+            first = jnp.where(c0_near, ptr1, ptr0)  # far pushed first
+            second = jnp.where(c0_near, ptr0, ptr1)  # near pops first
+
+            @pl.when(both)
+            def _push_both():
+                stack_ref[sp] = first.astype(jnp.int32)
+                stack_ref[sp + 1] = second.astype(jnp.int32)
+
+            only0 = int0 & ~int1
+            only1 = int1 & ~int0
+
+            @pl.when(only0)
+            def _push0():
+                stack_ref[sp] = ptr0.astype(jnp.int32)
+
+            @pl.when(only1)
+            def _push1():
+                stack_ref[sp] = ptr1.astype(jnp.int32)
+
+            new_sp = sp + jnp.where(both, 2, jnp.where(only0 | only1, 1, 0))
+            if occlusion:
+                done = (jnp.min(out_ref[4, :]) > 0.5) & (q == q0)
+            else:
+                done = jnp.bool_(False)
+            return new_sp, done, q
+
+        if occlusion:
+            dead = (
+                (jnp.abs(rays_ref[3, :]) + jnp.abs(rays_ref[4, :]) + jnp.abs(rays_ref[5, :]))
+                < 1e-30
+            )
+            out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
+
+        _, _, q_final = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
+        )
+
+        @pl.when(q_final >= 1)
+        def _drain():
+            prev = (q_final - 1) % 2
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(0, K), :],
+                mt_scratch.at[prev],
+                sem.at[prev],
+            ).wait()
+            process_slot(prev)
+
+        if occlusion:
+            out_ref[4, :] = jnp.where(out_ref[4, :] > 1.5, 0.0, out_ref[4, :])
+
         if not occlusion:
             t = out_ref[0, :]
             hit = t < BIG
@@ -516,9 +769,9 @@ def _make_traverse8_kernel(K: int, cull: bool, occlusion: bool):
     return kernel
 
 
-def _pack_rays(origins, directions, t_min, t_max):
+def _pack_rays(origins, directions, t_min, t_max, tile: int = TILE_R):
     r = origins.shape[0]
-    r_pad = -(-r // TILE_R) * TILE_R
+    r_pad = -(-r // tile) * tile
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     rays = jnp.concatenate(
@@ -579,6 +832,86 @@ def traverse_closest(
         "u": jnp.where(hit, out[2], 0.0),
         "v": jnp.where(hit, out[3], 0.0),
     }
+
+
+def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
+              tile: int = TILE_R):
+    return pl.pallas_call(
+        _make_traverse_fat_kernel(leaf_size, cull, occlusion),
+        grid=(r_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, tile), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rays, bvh["bvhf_nodes"], bvh["mt_rows"])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("leaf_size", "cull_backface", "interpret", "tile"),
+)
+def traverse_fat_closest(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    cull_backface: bool = False,
+    interpret: bool = False,
+    tile: int = TILE_R,
+) -> dict:
+    """Closest hit via fat-node front-to-back packet traversal.
+
+    Same contract as traverse_closest."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
+    out = _call_fat(bvh, rays, r_pad, leaf_size, cull_backface, False,
+                    interpret, tile)
+    out = out[:, :r]
+    hit = out[4] > 0.5
+    slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)
+    tri = jnp.where(hit, bvh["slot_tri"][slot], -1)
+    return {
+        "hit": hit,
+        "t": out[0],
+        "tri": tri,
+        "slot": jnp.where(hit, slot, -1),
+        "u": jnp.where(hit, out[2], 0.0),
+        "v": jnp.where(hit, out[3], 0.0),
+    }
+
+
+@functools.partial(
+    jax.jit, static_argnames=("leaf_size", "interpret", "tile")
+)
+def traverse_fat_any(
+    bvh: dict,
+    origins: jnp.ndarray,
+    directions: jnp.ndarray,
+    t_min=1e-4,
+    t_max=3.0e37,
+    leaf_size: int = 16,
+    interpret: bool = False,
+    tile: int = TILE_R,
+) -> jnp.ndarray:
+    """Occlusion via fat-node packet traversal with all-occluded early exit."""
+    r = origins.shape[0]
+    rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
+    out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret, tile)
+    return out[4, :r] > 0.5
 
 
 @functools.partial(

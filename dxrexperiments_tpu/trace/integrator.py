@@ -145,30 +145,43 @@ def _trace_closest(
         )
         return hits["hit"], position, normal, mat
     if impl in ("pallas", "pallas_interpret") and "bvh" in scene:
-        # Large scene: packet BVH traversal + gather-based attribute fetch
-        # (8-wide kernel when the scene pack carries the collapsed tree).
+        # Large scene: packet BVH traversal + gather-based attribute fetch.
+        # Fat-node front-to-back kernel when the scene pack carries the
+        # collapsed children-boxes tree (strictly faster than the binary
+        # kernel: fewer visits + near-first descent; the 8-wide kernel's
+        # per-child scalar extracts outweigh its visit reduction).
         from ..ops import traverse_pallas
         from ..scene.scene import BVH_LEAF_SIZE
 
-        # binary kernel preferred: the 8-wide kernel's per-child scalar
-        # extracts outweigh its visit reduction (57.9 vs 42.6 ms on the
-        # 200k-tri blocked benchmark); revisit after its scalar path thins.
         order = _ray_sort_order(scene, origins, directions) if sort_rays else None
         if order is not None:
             origins = origins[order]
             directions = directions[order]
             if getattr(t_max, "ndim", 0):
                 t_max = t_max[order]
-        hits = traverse_pallas.traverse_closest(
-            scene["bvh"],
-            origins,
-            directions,
-            t_min,
-            t_max,
-            leaf_size=BVH_LEAF_SIZE,
-            cull_backface=cull,
-            interpret=(impl == "pallas_interpret"),
-        )
+        if "bvhf_nodes" in scene["bvh"]:
+            hits = traverse_pallas.traverse_fat_closest(
+                scene["bvh"],
+                origins,
+                directions,
+                t_min,
+                t_max,
+                leaf_size=BVH_LEAF_SIZE,
+                cull_backface=cull,
+                interpret=(impl == "pallas_interpret"),
+                tile=FAT_TILE,
+            )
+        else:
+            hits = traverse_pallas.traverse_closest(
+                scene["bvh"],
+                origins,
+                directions,
+                t_min,
+                t_max,
+                leaf_size=BVH_LEAF_SIZE,
+                cull_backface=cull,
+                interpret=(impl == "pallas_interpret"),
+            )
         if order is not None:
             hits = {
                 k: jnp.zeros_like(v).at[order].set(v) for k, v in hits.items()
@@ -233,15 +246,27 @@ def _trace_any(
             directions = directions[order]
             if getattr(t_max, "ndim", 0):
                 t_max = t_max[order]
-        occ = traverse_pallas.traverse_any(
-            scene["bvh"],
-            origins,
-            directions,
-            t_min,
-            t_max,
-            leaf_size=BVH_LEAF_SIZE,
-            interpret=(impl == "pallas_interpret"),
-        )
+        if "bvhf_nodes" in scene["bvh"]:
+            occ = traverse_pallas.traverse_fat_any(
+                scene["bvh"],
+                origins,
+                directions,
+                t_min,
+                t_max,
+                leaf_size=BVH_LEAF_SIZE,
+                interpret=(impl == "pallas_interpret"),
+                tile=FAT_TILE,
+            )
+        else:
+            occ = traverse_pallas.traverse_any(
+                scene["bvh"],
+                origins,
+                directions,
+                t_min,
+                t_max,
+                leaf_size=BVH_LEAF_SIZE,
+                interpret=(impl == "pallas_interpret"),
+            )
         if order is not None:
             occ = jnp.zeros_like(occ).at[order].set(occ)
         return occ
@@ -355,6 +380,11 @@ def _direct_lighting(
 
     all_dirs = jnp.concatenate(dirs).reshape(l_count * n, 3)
     all_tmax = jnp.concatenate(t_maxs).reshape(l_count * n)
+    # Zero the direction of inactive lanes (their `vis` is masked below):
+    # the occlusion kernels pre-mark |d|≈0 lanes as occluded, so garbage
+    # origins stop traversing AND stop blocking the all-occluded early exit.
+    act = jnp.broadcast_to(active[None], (l_count, n)).reshape(-1, 1)
+    all_dirs = jnp.where(act, all_dirs, 0.0)
     occ = _trace_any(
         scene,
         jnp.broadcast_to(position[None], (l_count, n, 3)).reshape(-1, 3),
@@ -415,7 +445,8 @@ def _ambient_occlusion(scene, options, position, normal, seed, active, impl):
         sample_dir = jnp.where(cosine, cos_dir, uni_dir)
         nol = vm.saturate(vm.dot(normal, sample_dir))
         pdf = jnp.where(cosine, nol / M_PI, 1.0 / (2.0 * M_PI))
-        occluded = _trace_any(scene, position, sample_dir, RAY_EPSILON, 10.0, impl)
+        traced_dir = jnp.where(active[..., None], sample_dir, 0.0)
+        occluded = _trace_any(scene, position, traced_dir, RAY_EPSILON, 10.0, impl)
         vis = jnp.where(active & ~occluded, 1.0, 0.0)
         visibility += vis * nol / jnp.maximum(pdf, 1e-8)
     return visibility / 4.0
@@ -430,8 +461,16 @@ def _secondary_radiance(
     scene, options, origins, directions, seeds, active, mode: str, impl: str,
     env_kind: int | None = None,
 ):
+    # Inactive lanes (primary misses, non-specular materials) carry garbage
+    # origins — often (0,0,0), INSIDE the scene — and every return field is
+    # masked below, so collapse their ray interval to empty (t_max = 0 <
+    # t_min): the packet kernels' slab tests then fail on those lanes
+    # immediately and they stop dragging real nodes into the packet union.
+    # Measured on the 983k-tri instanced scene: a large slice of the
+    # secondary dispatch was garbage-lane traversal.
+    t_max_eff = jnp.where(active, RAY_MAX_T, 0.0)
     is_hit, position, normal, mat = _trace_closest(
-        scene, origins, directions, RAY_EPSILON, RAY_MAX_T, cull=False,
+        scene, origins, directions, RAY_EPSILON, t_max_eff, cull=False,
         impl=impl,
         # NOTE: sort_rays measured NEGATIVE here on the 983k-tri instanced
         # scene (68 s vs 46 s / 16 spp): argsort+scatter overhead exceeded
@@ -619,19 +658,24 @@ def _sanitize(color: jnp.ndarray) -> jnp.ndarray:
 GEO_CONST_LIMIT_BYTES = 8 * 1024 * 1024
 
 # Packet-locality blocking: the traversal kernels share one stack per
-# 2048-ray packet, so a packet's cost is the UNION of the nodes its rays
-# visit. Raster-order packets are 4-row slabs across the whole image (huge
-# unions); re-tiling the grid into 32x64-pixel blocks makes each packet a
+# packet, so a packet's cost is the UNION of the nodes its rays visit.
+# Raster-order packets are 4-row slabs across the whole image (huge
+# unions); re-tiling the grid into pixel blocks makes each packet a
 # compact frustum — measured 17x on 200k-tri closest-hit (713 -> 42.6 ms,
 # benchmarks/traversal_micro.py). The permutation is a compile-time
 # constant; secondary/shadow rays inherit the blocked order for free and
-# only the final images un-permute.
-BLOCK_H, BLOCK_W = 32, 64
+# only the final images un-permute. The fat-node kernel runs 1024-ray
+# packets (32x32 blocks): the tile sweep (benchmarks/tlas_micro.py sweep)
+# put 1024 at/near the optimum on both the 983k-tri instanced scene and
+# the 200k soup — smaller packets shrink the union faster than the extra
+# scalar iterations cost, now that fat visits are half as many.
+FAT_TILE = 1024
+BLOCK_H, BLOCK_W = 32, 32
 
 
 @functools.lru_cache(maxsize=16)
 def _block_perm(height: int, width: int) -> tuple[np.ndarray, np.ndarray]:
-    """(perm, inv_perm) mapping raster order -> 32x64-block order."""
+    """(perm, inv_perm) mapping raster order -> BLOCK_HxBLOCK_W-block order."""
     lin = np.arange(height * width, dtype=np.int32).reshape(height, width)
     blocked = (
         lin.reshape(height // BLOCK_H, BLOCK_H, width // BLOCK_W, BLOCK_W)
