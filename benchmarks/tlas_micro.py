@@ -149,13 +149,15 @@ def main() -> None:
 
         for name, fn, acc in (
             ("two-level", traverse2_pallas.traverse2_closest, tl),
+            ("2lvl-fat", traverse2_pallas.traverse2_fat_closest, tl),
             ("flattened", traverse_pallas.traverse_closest, bvh),
             ("flat-fat", traverse_pallas.traverse_fat_closest, bvh),
         ):
             leaf = BVH_LEAF_SIZE
+            kw = {"tile": 1024} if "fat" in name else {}
 
             def run():
-                return fn(acc, o, d, t_min=1e-4, leaf_size=leaf)
+                return fn(acc, o, d, t_min=1e-4, leaf_size=leaf, **kw)
 
             r = run()
             hits = float(jnp.mean(r["hit"].astype(jnp.float32)))

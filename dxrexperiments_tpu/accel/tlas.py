@@ -128,6 +128,7 @@ class TlasRefitContext:
     slot_mesh_lo: np.ndarray  # [I, 3] object AABB of each slot's mesh
     slot_mesh_hi: np.ndarray  # [I, 3]
     slot_blas_root: np.ndarray  # [I] f32
+    slot_blas_fat_root: np.ndarray  # [I] f32 (root into blasf_nodes)
     slot_mat_override: np.ndarray  # [I] f32 (-1 = none)
     levels: int  # TLAS depth (2**levels leaf slots)
     num_instances: int
@@ -153,13 +154,18 @@ def build_two_level(
     mat_override = np.asarray(mat_override, np.int64)
 
     # ---- per-mesh BLAS, concatenated with rebased ids ---------------------
+    from ..ops.traverse_pallas import fat_nodes
+
     blas_cols = []  # [8, m] blocks
+    blasf_cols = []  # [16, f_pad] fat blocks
     mt_blocks = []
     slot_blocks = []
     mesh_root = np.zeros((len(meshes),), np.int64)
+    mesh_fat_root = np.zeros((len(meshes),), np.int64)
     mesh_lo = np.zeros((len(meshes), 3), np.float32)
     mesh_hi = np.zeros((len(meshes), 3), np.float32)
     node_base = 0
+    fat_base = 0
     row_base = 0
     tri_base = 0
     for k, (v0, e1, e2) in enumerate(meshes):
@@ -170,8 +176,25 @@ def build_two_level(
         new_child, slot_tri = _regularize_leaves(nodes, leaf_size)
         m = len(new_child)
         mesh_root[k] = node_base
+        mesh_fat_root[k] = fat_base
         mesh_lo[k] = np.asarray(nodes["nodes_lo"], np.float32)[0]
         mesh_hi[k] = np.asarray(nodes["nodes_hi"], np.float32)[0]
+
+        # fat (children-boxes-in-parent) twin of this BLAS, rebased: leaf
+        # ptrs by the concatenated mt-row base, internal ptrs by fat_base
+        fat = fat_nodes(
+            np.asarray(nodes["nodes_lo"], np.float32),
+            np.asarray(nodes["nodes_hi"], np.float32),
+            new_child,
+        )
+        for side in range(2):
+            meta = fat[13 + 2 * side]
+            fat[12 + 2 * side] += np.where(
+                meta > 0.5, float(row_base),
+                np.where(meta < -0.5, float(fat_base), 0.0),
+            )
+        blasf_cols.append(fat)
+        fat_base += fat.shape[1]
 
         is_leaf = new_child[:, 0] < 0
         child = new_child.copy()
@@ -207,6 +230,7 @@ def build_two_level(
     m_pad = max(-(-m_total // TLAS_PAD) * TLAS_PAD, TLAS_PAD)
     blas_nodes = np.zeros((8, m_pad), np.float32)
     blas_nodes[:, :m_total] = np.concatenate(blas_cols, axis=1)
+    blasf_nodes = np.concatenate(blasf_cols, axis=1)  # pads are 128-aligned
     mt_rows = np.concatenate(mt_blocks, axis=0)
     slot_tri_all = np.concatenate(slot_blocks).astype(np.int32)
 
@@ -229,6 +253,9 @@ def build_two_level(
         slot_mesh_lo=mesh_lo[inst_mesh][inst_order],
         slot_mesh_hi=mesh_hi[inst_mesh][inst_order],
         slot_blas_root=mesh_root[inst_mesh][inst_order].astype(np.float32),
+        slot_blas_fat_root=mesh_fat_root[inst_mesh][inst_order].astype(
+            np.float32
+        ),
         slot_mat_override=mat_override[inst_order].astype(np.float32),
         levels=levels,
         num_instances=num_inst,
@@ -236,6 +263,7 @@ def build_two_level(
     dyn = refit_instances_arrays(ctx, jnp.asarray(transforms))
     tl = {
         "blas_nodes": jnp.asarray(blas_nodes),
+        "blasf_nodes": jnp.asarray(blasf_nodes),
         "mt_rows": jnp.asarray(mt_rows),
         "slot_tri": jnp.asarray(slot_tri_all),
         **dyn,
@@ -266,6 +294,7 @@ def _refit_device(
     slot_mesh_lo,  # [I, 3]
     slot_mesh_hi,
     slot_blas_root,  # [I] f32
+    slot_blas_fat_root,  # [I] f32
     slot_mat_override,  # [I] f32
     levels: int,
     num_instances: int,
@@ -315,6 +344,44 @@ def _refit_device(
     tlas = tlas.at[6, :mt].set(left)
     tlas = tlas.at[7, :mt].set(right)
 
+    # ---- fat TLAS (children boxes at the parent; static topology) ---------
+    # Internal heap ids ARE fat node ids (0..first_leaf-1); a child id >=
+    # first_leaf is an instance leaf whose slot is id - first_leaf. Only the
+    # BOXES are dynamic (gathered from the freshly-reduced pyramid); ptr and
+    # meta rows are compile-time constants of the frozen topology.
+    fcount = max(first_leaf, 1)
+    f_pad = max(-(-fcount // TLAS_PAD) * TLAS_PAD, TLAS_PAD)
+    tlasf = jnp.zeros((16, f_pad), jnp.float32)
+    tlasf = tlasf.at[0:12, :].set(BIG)
+    if first_leaf == 0:
+        # single-instance TLAS: one fat node, c0 = instance 0, c1 empty
+        tlasf = tlasf.at[0:3, 0].set(nodes_lo[first_leaf])
+        tlasf = tlasf.at[3:6, 0].set(nodes_hi[first_leaf])
+        tlasf = tlasf.at[12, 0].set(0.0)
+        tlasf = tlasf.at[13, 0].set(1.0)
+    else:
+        fids = np.arange(first_leaf)
+        for side, cids in ((0, 2 * fids + 1), (1, 2 * fids + 2)):
+            is_inst = cids >= first_leaf
+            slot = cids - first_leaf
+            ptr = np.where(is_inst, slot, cids).astype(np.float32)
+            meta = np.where(
+                is_inst, np.where(slot < i, 1.0, 0.0), -1.0
+            ).astype(np.float32)
+            base = 6 * side
+            tlasf = tlasf.at[base : base + 3, :first_leaf].set(
+                nodes_lo[cids].T
+            )
+            tlasf = tlasf.at[base + 3 : base + 6, :first_leaf].set(
+                nodes_hi[cids].T
+            )
+            tlasf = tlasf.at[12 + 2 * side, :first_leaf].set(
+                jnp.asarray(ptr)
+            )
+            tlasf = tlasf.at[13 + 2 * side, :first_leaf].set(
+                jnp.asarray(meta)
+            )
+
     i_pad = max(-(-n_leaves // TLAS_PAD) * TLAS_PAD, TLAS_PAD)
     rows = jnp.zeros((32, i_pad), jnp.float32)
     rows = rows.at[0:9, :i].set(a.reshape(i, 9).T)
@@ -322,6 +389,7 @@ def _refit_device(
     rows = rows.at[12, :i].set(slot_blas_root)
     rows = rows.at[13, :i].set(slot_mat_override)
     rows = rows.at[14, :i].set(inst_order.astype(jnp.float32))
+    rows = rows.at[15, :i].set(slot_blas_fat_root)
 
     nm_pad = jnp.zeros((i_pad, 3, 3), jnp.float32).at[:i].set(nm)
     ovr_pad = (
@@ -332,6 +400,7 @@ def _refit_device(
     orig_pad = jnp.zeros((i_pad,), jnp.int32).at[:i].set(inst_order)
     return {
         "tlas_nodes": tlas,
+        "tlasf_nodes": tlasf,
         "inst_rows": rows,
         "inst_nm": nm_pad,
         "inst_mat_override": ovr_pad,
@@ -348,6 +417,7 @@ def refit_instances_arrays(ctx: TlasRefitContext, transforms) -> dict:
         jnp.asarray(ctx.slot_mesh_lo),
         jnp.asarray(ctx.slot_mesh_hi),
         jnp.asarray(ctx.slot_blas_root),
+        jnp.asarray(ctx.slot_blas_fat_root),
         jnp.asarray(ctx.slot_mat_override),
         ctx.levels,
         ctx.num_instances,

@@ -129,11 +129,18 @@ def _trace_closest(
             from ..ops import traverse2_pallas
             from ..scene.scene import BVH_LEAF_SIZE
 
-            hits = traverse2_pallas.traverse2_closest(
-                scene["tlas"], origins, directions, t_min, t_max,
-                leaf_size=BVH_LEAF_SIZE, cull_backface=cull,
-                interpret=(impl == "pallas_interpret"),
-            )
+            if "tlasf_nodes" in scene["tlas"]:
+                hits = traverse2_pallas.traverse2_fat_closest(
+                    scene["tlas"], origins, directions, t_min, t_max,
+                    leaf_size=BVH_LEAF_SIZE, cull_backface=cull,
+                    interpret=(impl == "pallas_interpret"), tile=FAT_TILE,
+                )
+            else:
+                hits = traverse2_pallas.traverse2_closest(
+                    scene["tlas"], origins, directions, t_min, t_max,
+                    leaf_size=BVH_LEAF_SIZE, cull_backface=cull,
+                    interpret=(impl == "pallas_interpret"),
+                )
         else:
             from ..accel import tlas as tlas_mod
 
@@ -228,6 +235,12 @@ def _trace_any(
             from ..ops import traverse2_pallas
             from ..scene.scene import BVH_LEAF_SIZE
 
+            if "tlasf_nodes" in scene["tlas"]:
+                return traverse2_pallas.traverse2_fat_any(
+                    scene["tlas"], origins, directions, t_min, t_max,
+                    leaf_size=BVH_LEAF_SIZE,
+                    interpret=(impl == "pallas_interpret"), tile=FAT_TILE,
+                )
             return traverse2_pallas.traverse2_any(
                 scene["tlas"], origins, directions, t_min, t_max,
                 leaf_size=BVH_LEAF_SIZE,

@@ -223,3 +223,55 @@ def test_dynamic_pipeline_no_recompile():
     assert pipe._step is step0, "TLAS refit must not rebuild the step"
     assert np.isfinite(np.asarray(img)).all()
     assert pipe.accum_count == 1  # dirty flag restarted accumulation
+
+
+def test_fat_kernel_matches_binary_closest(two_level_scene):
+    """Fat two-level kernel (tlasf/blasf) vs the binary two-level kernel:
+    every field must agree exactly — only traversal order differs."""
+    o, d = _probe_rays(seed=5)
+    a = traverse2_pallas.traverse2_closest(
+        two_level_scene["tlas"], o, d, 1e-4, 3.0e37,
+        leaf_size=32, interpret=True,
+    )
+    b = traverse2_pallas.traverse2_fat_closest(
+        two_level_scene["tlas"], o, d, 1e-4, 3.0e37,
+        leaf_size=32, interpret=True,
+    )
+    for k in ("hit", "t", "tri", "u", "v", "inst"):
+        np.testing.assert_allclose(
+            np.asarray(a[k]).astype(np.float64),
+            np.asarray(b[k]).astype(np.float64),
+            atol=1e-5, err_msg=k,
+        )
+
+
+def test_fat_kernel_matches_binary_any(two_level_scene):
+    o, d = _probe_rays(seed=6)
+    a = traverse2_pallas.traverse2_any(
+        two_level_scene["tlas"], o, d, 1e-4, 6.0, leaf_size=32, interpret=True
+    )
+    b = traverse2_pallas.traverse2_fat_any(
+        two_level_scene["tlas"], o, d, 1e-4, 6.0, leaf_size=32, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fat_refit_matches_fresh_build():
+    """Refit with new transforms must regenerate the fat TLAS identically
+    to a from-scratch build at those transforms (boxes are dynamic, the
+    ptr/meta topology rows are frozen)."""
+    sc = _two_mesh_scene()
+    built = sc.build_two_level()
+    ctx = built["tlas_meta"].value["refit_ctx"]
+    transforms = np.stack([i.transform for i in sc.instances])
+    transforms[:, 0, 3] += 0.75  # translate all instances in x
+    dyn = tlas_mod.refit_instances_arrays(ctx, jnp.asarray(transforms))
+
+    sc2 = _two_mesh_scene()
+    for inst, t in zip(sc2.instances, transforms):
+        inst.transform = t.astype(np.float32)
+    fresh = sc2.build_two_level()["tlas"]
+    np.testing.assert_allclose(
+        np.asarray(dyn["tlasf_nodes"]), np.asarray(fresh["tlasf_nodes"]),
+        atol=1e-5,
+    )
