@@ -25,9 +25,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
 WIDTH = HEIGHT = 512
-SAMPLES_PER_DISPATCH = 16  # SPP batching (amortizes raygen/dispatch overhead)
-DISPATCHES = 8
+SAMPLES_PER_DISPATCH = int(os.environ.get("BENCH_SPD", "16"))
+DISPATCHES = int(os.environ.get("BENCH_DISPATCHES", "8"))
 REPS = 3
 BASELINE_MRAYS = 500.0
 

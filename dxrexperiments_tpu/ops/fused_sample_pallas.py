@@ -43,6 +43,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -148,13 +149,15 @@ USE_MXU_TERMS = False  # measured 2.2x SLOWER on v5e (65.5 vs 29.2 ms/dispatch):
 # f32-emulation at K=16 cannot beat the 19 VPU FMA sweeps even at R=4096.
 
 
-def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
-    """Möller–Trumbore validity/t for all (tri, ray) pairs.
+def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
+                r0: int = 0, rn: int | None = None):
+    """Möller–Trumbore validity/t for (tri, ray) pairs.
 
-    o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar.
+    o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar. r0/rn select
+    a static row window of triangles (the cluster path) — default all.
     Same math as intersect_pallas._pair_block (which this kernel must agree
     with hit-for-hit up to fp reassociation). Returns (valid, t_pair, us,
-    vs, det_abs), each [C, TILE_R]; t_pair None when need_t=False.
+    vs, det_abs), each [rn, TILE_R]; t_pair None when need_t=False.
 
     With USE_MXU_TERMS the four term groups are ONE [4C,16]@[16,R] matmul
     at HIGHEST precision: the MXU computes the 19 FMA sweeps while the VPU
@@ -171,7 +174,9 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
     ]
 
     c = mt_ref.shape[0] // 4
-    if USE_MXU_TERMS:
+    if rn is None:
+        rn = c
+    if USE_MXU_TERMS and (r0, rn) == (0, c):
         lhs = jnp.concatenate(
             db
             + m
@@ -193,7 +198,7 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
         t_d = terms[3 * c : 4 * c]
     else:
         def col(g, k):
-            return mt_ref[g * c : (g + 1) * c, k][:, None]
+            return mt_ref[g * c + r0 : g * c + r0 + rn, k][:, None]
 
         det = db[0] * col(0, 0) + db[1] * col(0, 1) + db[2] * col(0, 2)
         u_d = (
@@ -224,22 +229,33 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool):
     eps = jnp.float32(1e-12)
     alive = (det > eps) if cull else (det_abs > eps)
     tmin_b = (tmin[None, :] if getattr(tmin, "ndim", 0) else tmin) * det_abs
-    valid = (
-        alive
-        & (us >= 0.0)
-        & (vs >= 0.0)
-        & (us + vs <= det_abs)
-        & (ts > tmin_b)
-    )
+    # Folded mask chain: the three non-strict window terms reduce through
+    # ONE min + compare, the strict t terms through another — same boundary
+    # semantics as the expanded chain (us>=0 & vs>=0 & us+vs<=det_abs;
+    # ts>tmin_b [& ts<tmax_b]) with ~3 fewer VPU ops per pair across all 9
+    # sweeps.
+    m_soft = jnp.minimum(jnp.minimum(us, vs), det_abs - (us + vs))
+    m_strict = ts - tmin_b
     # tmax=None means RAY_MAX_T: ts < 1e38*det_abs is always true for finite
-    # scene coordinates, so 8 of the 9 sweeps skip the mul+cmp+and entirely.
+    # scene coordinates, so 8 of the 9 sweeps skip the mul+sub+min entirely.
     if tmax is not None:
         tmax_b = (tmax[None, :] if getattr(tmax, "ndim", 0) else tmax) * det_abs
-        valid = valid & (ts < tmax_b)
+        m_strict = jnp.minimum(m_strict, tmax_b - ts)
+    valid = alive & (m_soft >= 0.0) & (m_strict > 0.0)
     if not need_t:
         return valid, None, us, vs, det_abs
     t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
     return valid, t_pair, us, vs, det_abs
+
+
+# Cluster-gated sweeps (8-tri AABB clusters, pl.when per cluster — the
+# in-kernel form of "BVH culling even on small scenes") measured 2.7x
+# SLOWER than flat sweeps on the Cornell bench (54.7 vs 149.6 Mrays/s):
+# the ~45 scalar branches per sample-tile and the VMEM scratch
+# accumulation they force (merged best-hit state cannot live in vregs
+# across pl.when bodies) cost far more than the ~30-40% pair-sweep savings.
+# The flat [C, R] sweeps below keep everything in registers and pipeline
+# cleanly; _pair_terms retains the r0/rn row window for future use.
 
 
 def _any_hit(mt_ref, o, d, tmin, tmax):
@@ -378,11 +394,13 @@ def _fused_kernel(
     attr_ref,  # VMEM [32, C]
     seed_ref,  # VMEM [1, 1, TILE_R] uint32 (TEA pixel seeds for this sample)
     out_ref,  # VMEM [8, TILE_R] (rows 0..2 = summed color)
+    sec_ref,  # VMEM scratch [8, TILE_R]: rows 0-2 diffuse-, 3-5 spec-secondary
     *,
     width: int,
     height: int,
     tile_r: int,
     env_kind: int,
+    block_w: int = 0,
 ):
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -391,9 +409,21 @@ def _fused_kernel(
     lane = jnp.max(
         jax.lax.broadcasted_iota(jnp.int32, (1, tile_r), 1), axis=0
     )
-    lin = i * tile_r + lane
-    px = lin % width
-    py = lin // width
+    if block_w:
+        # Blocked pixel order: each tile is one block_w x (tile_r/block_w)
+        # pixel block, so tile-wide sweep skips (spec_any) key on a compact
+        # screen region instead of an 8-row slab across the whole image.
+        # Seeds arrive pre-permuted; the host unpermutes the output.
+        block_h = tile_r // block_w
+        wb = width // block_w
+        by = i // wb
+        bx = i % wb
+        px = bx * block_w + lane % block_w
+        py = by * block_h + lane // block_w
+    else:
+        lin = i * tile_r + lane
+        px = lin % width
+        py = lin // width
     ndcx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
     ndcy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
     du = tuple(cam_ref[s, 3 + k] for k in range(3))
@@ -464,12 +494,42 @@ def _fused_kernel(
     )
 
     # ---- secondary bounces (each: closest + 2 shadow sweeps) --------------
-    sec = _secondary_radiance(
-        mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
-    )
-    spec_rad = _secondary_radiance(
-        mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active, env_kind
-    )
+    # Tile-level sweep skips: each secondary costs 3 of the sample's 9 pair
+    # sweeps, and its result is exactly zero when no lane needs it (the
+    # epilogue masks by no_ind / spec_active), so gate the whole evaluation
+    # on a tile-wide reduction — tiles with no glossy lane (most of the
+    # Cornell walls) skip a third of their work.
+    spec_any = jnp.any(spec_active)
+
+    @pl.when(~no_ind)
+    def _sec_diffuse():
+        s3 = _secondary_radiance(
+            mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
+        )
+        for k in range(3):
+            sec_ref[k, :] = s3[k]
+
+    @pl.when(no_ind)
+    def _sec_diffuse_zero():
+        for k in range(3):
+            sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+
+    @pl.when(spec_any)
+    def _sec_spec():
+        s3 = _secondary_radiance(
+            mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active,
+            env_kind,
+        )
+        for k in range(3):
+            sec_ref[3 + k, :] = s3[k]
+
+    @pl.when(~spec_any)
+    def _sec_spec_zero():
+        for k in range(3):
+            sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
+
+    sec = tuple(sec_ref[k, :] for k in range(3))
+    spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
 
     # ---- combine (integrator.trace_rays epilogue parity) -------------------
     nol = _saturate(_dot3(normal, diff_dir))
@@ -537,6 +597,11 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
 
 
 def _pick_tile(c: int) -> int:
+    import os
+
+    override = int(os.environ.get("FUSED_TILE", "0"))
+    if override:
+        return override
     return 4096 if c <= 64 else 1024
 
 
@@ -565,6 +630,35 @@ def fused_progressive_sum(
     c = int(scene["mt_pack"].shape[1])
     tile_r = _pick_tile(c)
     r_pad = -(-n // tile_r) * tile_r
+
+    # Blocked pixel order (square-ish blocks of tile_r pixels) when the
+    # image tiles evenly — concentrates material variation so the in-kernel
+    # spec_any skip fires on most tiles.
+    # Blocked pixel order measured ~6% SLOWER than raster slabs on the
+    # Cornell bench (141 vs 149.6 Mrays/s at block_w 64/128/256) even though
+    # compact blocks skip the spec secondary on more tiles — the raster
+    # slabs' skips plus cheaper raygen win. Kept as an env opt-in for
+    # scenes whose glossy coverage is genuinely block-local.
+    import os
+
+    block_w = int(os.environ.get("FUSED_BLOCK_W", "0"))
+    block_h = tile_r // block_w if block_w else 1
+    if not block_w or width % block_w or height % block_h:
+        block_w = 0  # raster fallback
+        perm = None
+    else:
+        pys, pxs = np.meshgrid(
+            np.arange(height, dtype=np.int64),
+            np.arange(width, dtype=np.int64),
+            indexing="ij",
+        )
+        lin2d = pys * width + pxs
+        perm = (
+            lin2d.reshape(height // block_h, block_h,
+                          width // block_w, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )  # blocked position j -> raster pixel id
 
     # --- camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12) ------------
     jit = cameras["jitter"] * 30.0  # jitter_scale, progressive
@@ -622,7 +716,10 @@ def fused_progressive_sum(
     const_pack = jnp.stack([row0, row1])
 
     # --- TEA pixel seeds per sample (outside; LCG draws run in-kernel) ------
-    lin = jnp.arange(r_pad, dtype=jnp.uint32)
+    if perm is not None:
+        lin = jnp.asarray(perm.astype(np.uint32))
+    else:
+        lin = jnp.arange(r_pad, dtype=jnp.uint32)
     seeds = jax.vmap(
         lambda fc: rng.init_rand(lin, fc.astype(jnp.uint32))
     )(cameras["frame_count"])[:, None, :]  # [S, 1, r_pad] uint32
@@ -634,6 +731,7 @@ def fused_progressive_sum(
             height=height,
             tile_r=tile_r,
             env_kind=env_kind,
+            block_w=block_w,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -651,6 +749,7 @@ def fused_progressive_sum(
             (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((8, tile_r), jnp.float32)],
         interpret=interpret,
     )(
         cam_pack,
@@ -660,4 +759,9 @@ def fused_progressive_sum(
         seeds,
     )
 
-    return out[:3, :n].T.reshape(height, width, 3)
+    colors = out[:3, :n].T  # [n, 3] in blocked order when permuted
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int64)
+        colors = colors[jnp.asarray(inv)]
+    return colors.reshape(height, width, 3)
