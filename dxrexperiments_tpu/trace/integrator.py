@@ -482,6 +482,13 @@ def _secondary_radiance(
     # Measured on the 983k-tri instanced scene: a large slice of the
     # secondary dispatch was garbage-lane traversal.
     t_max_eff = jnp.where(active, RAY_MAX_T, 0.0)
+
+    # Active-lane compaction (stable partition of actives to the front so
+    # trailing all-dead packets die in one iteration) measured NEGATIVE on
+    # top of the masking above (627 -> 670 ms on the 983k instanced frame):
+    # once dead lanes have empty ray intervals they already contribute
+    # nothing to any packet's node union, so compaction only merges the
+    # actives' unions while paying argsort + three gathers + a scatter.
     is_hit, position, normal, mat = _trace_closest(
         scene, origins, directions, RAY_EPSILON, t_max_eff, cull=False,
         impl=impl,
@@ -509,7 +516,9 @@ def _secondary_radiance(
         # realtime: albedo * direct / pi (RealtimeRaytracing.hlsl:102)
         shade_col = mat["albedo"] * direct / M_PI
 
-    return jnp.where(hit[..., None], shade_col, jnp.where(active[..., None], env_col, 0.0))
+    return jnp.where(
+        hit[..., None], shade_col, jnp.where(active[..., None], env_col, 0.0)
+    )
 
 
 # --------------------------------------------------------------------------- #
