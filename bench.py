@@ -97,6 +97,16 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
+                # Other BASELINE configs, recorded from this round's fresh
+                # TPU runs (protocols + scripts in RESULTS.md) — not
+                # re-measured on every bench invocation.
+                "secondary_recorded": {
+                    "realtime_denoise_1080p_fps": 36.6,
+                    "instanced_983k_512_flattened_ms": 627,
+                    "instanced_983k_512_two_level_ms": 727,
+                    "closest_262k_rays_200k_tris_ms": 35.8,
+                    "hdr_env_1080p_spp_per_sec": 4.06,
+                },
             }
         )
     )
