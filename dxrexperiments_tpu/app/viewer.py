@@ -138,20 +138,32 @@ class RawKeyboard:
 class ViewerApp:
     """The app orchestrator (DXRExperimentsApp analogue)."""
 
-    def __init__(self, scene_name="cornell-glossy", width=128, height=96):
+    def __init__(self, scene_name="cornell-glossy", width=128, height=96,
+                 accel="auto", animate_instances=False):
         self.scene, self.camera = build_scene(scene_name)
         self.camera.set_aspect(width, height)
         self.width, self.height = width, height
         self.controller = CameraController(self.camera)
         self.timer = StepTimer()
         self.stats = FrameStats(width, height)
+        self.animate_instances = animate_instances
         self.pipelines = [
             ProgressiveRaytracingPipeline(width, height, seed=0),
             RealtimeRaytracingPipeline(width, height, seed=0),
         ]
+        two_level = accel == "two-level" or animate_instances
+        scene_data = self.scene.build_two_level() if two_level else None
         for p in self.pipelines:
             p.set_camera(self.camera)
-            p.set_scene(self.scene)
+            if scene_data is not None:
+                p.set_scene_data(scene_data)
+            else:
+                p.set_scene(self.scene)
+        self._base_transforms = (
+            np.stack([inst.transform for inst in self.scene.instances])
+            if animate_instances
+            else None
+        )
         self.active = 0
         self.denoiser = DenoiseCompositor()
         self.env_strength = 1.0
@@ -369,6 +381,17 @@ class ViewerApp:
         if not np.array_equal(vp_before, self.camera.view_proj_matrix()):
             self.denoiser.reset_history()  # avoid temporal ghosting
         pipe = self.pipeline
+        if self._base_transforms is not None and hasattr(
+            pipe, "set_instance_transforms"
+        ):
+            # spin instance transforms via TLAS refit (no re-bake/recompile)
+            yaw = 0.4 * self.timer.total_seconds
+            c, s = np.cos(yaw), np.sin(yaw)
+            rot = np.eye(4, dtype=np.float32)
+            rot[0, 0], rot[0, 2], rot[2, 0], rot[2, 2] = c, s, -s, c
+            pipe.set_instance_transforms(
+                jnp.asarray(np.einsum("ij,njk->nik", rot, self._base_transforms))
+            )
         pipe.update(
             elapsed_time=self.timer.total_seconds,
             elapsed_frames=self.timer.frame_count,
@@ -409,6 +432,14 @@ def main(argv=None) -> int:
     ap.add_argument("--platform", default=None)
     ap.add_argument("--max-frames", type=int, default=0, help="exit after N frames (0 = run until 'x')")
     ap.add_argument("--script", default=None, help="scripted key sequence (for testing), e.g. 'wwwd p x'")
+    ap.add_argument(
+        "--accel", default="auto", choices=["auto", "two-level"],
+        help="acceleration structure (see headless --accel)",
+    )
+    ap.add_argument(
+        "--animate-instances", action="store_true",
+        help="spin instance transforms each frame via TLAS refit",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -423,7 +454,8 @@ def main(argv=None) -> int:
         width, height = display.size()
         width, height = min(width, 200), min(height - height % 2, 140)
 
-    app = ViewerApp(args.scene, width, height)
+    app = ViewerApp(args.scene, width, height, accel=args.accel,
+                    animate_instances=args.animate_instances)
     scripted = list(args.script.replace(" ", "")) if args.script else None
 
     sys.stdout.write("\x1b[2J")  # clear

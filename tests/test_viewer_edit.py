@@ -94,3 +94,25 @@ def test_resize_recreates_outputs():
     count = pipe.accum_count
     app.resize(64, 48)
     assert pipe.accum_count == count
+
+
+def test_viewer_two_level_animate_steps():
+    """Viewer with --accel two-level --animate-instances: instance spin via
+    TLAS refit each frame, accumulation restarts, and pipeline switching
+    stays safe (realtime lacks set_instance_transforms and is skipped)."""
+    from dxrexperiments_tpu.app.viewer import InputState
+
+    app = ViewerApp("instanced:2", width=32, height=32,
+                    accel="two-level", animate_instances=True)
+    assert "tlas" in app.pipelines[0].scene_data
+    img1 = app.step(InputState())
+    assert img1.shape == (32, 32, 3)
+    tf_a = app.pipelines[0].scene_data["tlas"]["tlas_nodes"]
+    img2 = app.step(InputState())
+    tf_b = app.pipelines[0].scene_data["tlas"]["tlas_nodes"]
+    # the refit must actually move the TLAS boxes between frames
+    assert not np.allclose(np.asarray(tf_a), np.asarray(tf_b))
+    # switch to realtime (no set_instance_transforms) — must not raise
+    app.handle_keys(["]"])
+    img3 = app.step(InputState())
+    assert img3.shape == (32, 32, 3)
