@@ -100,3 +100,32 @@ def test_graft_entry_compiles():
     compiled = lowered.compile()
     out = compiled(*args)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sharded_two_level_matches_single_chip():
+    """Tile/spp-sharded rendering of a TWO-LEVEL (TLAS/BLAS) scene on the
+    virtual 8-device mesh must match the unsharded render — the multi-chip
+    axis composes with the refittable instance path (scene replicated,
+    including the host-static tlas metadata)."""
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.trace.integrator import default_options, render_sample
+
+    width = height = 32
+    sc, cam = build_scene("instanced:2")
+    cam.set_aspect(width, height)
+    scene = sc.build_two_level()
+    options = default_options()
+    cams = [camera_params(cam, frame_count=i) for i in range(4)]
+    cameras = stack_cameras(cams)
+
+    mesh = make_render_mesh(n_tile=2, n_spp=4)
+    scene_r = replicate_scene(scene, mesh)
+    sharded = np.asarray(
+        render_samples_sharded(scene_r, options, cameras, width, height, mesh)
+    )
+    singles = [
+        np.asarray(render_sample(scene, options, c, width, height)["color"])
+        for c in cams
+    ]
+    np.testing.assert_allclose(sharded, np.mean(singles, axis=0), atol=1e-5)
