@@ -206,3 +206,30 @@ def test_sphere_mesh_normals_outward():
     np.testing.assert_allclose(np.linalg.norm(rel, axis=-1), 2.0, atol=1e-5)
     cos = np.sum(rel / 2.0 * m.normals, axis=-1)
     assert cos.min() > 0.99
+
+
+def test_env_quad_pack_matches_four_gathers():
+    """The quad-packed single-gather bilinear (latlong + cube) must be
+    bit-exact with the 4-gather formulation, including wrap/clamp edges."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dxrexperiments_tpu.scene import envmap
+
+    rs = np.random.default_rng(3)
+    img = rs.random((7, 9, 3)).astype(np.float32)
+    env = envmap.latlong_env(img)
+    # uv grid hitting wrap (u near 1) and clamp (v near 0/1) edges
+    u = jnp.asarray(rs.random(500).astype(np.float32))
+    v = jnp.asarray(rs.random(500).astype(np.float32))
+    fast = envmap._bilinear_wrap_u(env["latlong"], u, v, env["latlong_quad"])
+    ref = envmap._bilinear_wrap_u(env["latlong"], u, v, None)
+    np.testing.assert_array_equal(np.asarray(fast), np.asarray(ref))
+
+    faces = rs.random((6, 8, 8, 3)).astype(np.float32)
+    cenv = envmap.cubemap_env(faces)
+    d = rs.normal(size=(500, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    face, cu, cv = envmap.dir_to_cube_face_uv(jnp.asarray(d))
+    fast_c = envmap._bilinear_cube(cenv["cube"], face, cu, cv, cenv["cube_quad"])
+    ref_c = envmap._bilinear_cube(cenv["cube"], face, cu, cv, None)
+    np.testing.assert_array_equal(np.asarray(fast_c), np.asarray(ref_c))
