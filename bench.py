@@ -101,11 +101,11 @@ def main() -> None:
                 # TPU runs (protocols + scripts in RESULTS.md) — not
                 # re-measured on every bench invocation.
                 "secondary_recorded": {
-                    "realtime_denoise_1080p_fps": 36.6,
+                    "realtime_denoise_1080p_fps": 54.5,
                     "instanced_983k_512_flattened_ms": 627,
                     "instanced_983k_512_two_level_ms": 727,
                     "closest_262k_rays_200k_tris_ms": 35.8,
-                    "hdr_env_1080p_spp_per_sec": 4.06,
+                    "hdr_env_1080p_spp_per_sec": 6.33,
                 },
             }
         )

@@ -359,11 +359,13 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active):
 
 
 def _secondary_radiance(
-    mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int
+    mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int,
+    realtime: bool = False,
 ):
     """Depth-1 radiance: closest hit, direct lighting, emissive — specular
     and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
-    parity). Returns 3-tuple [TILE_R]."""
+    parity; realtime mode omits the emissive term,
+    RealtimeRaytracing.hlsl:102). Returns 3-tuple [TILE_R]."""
     h = _closest_hit(mt_ref, attr_ref, o, d, RAY_EPSILON, None, cull=False)
     hit = h["hit"] & active
     env = _env_color(d, const_ref, env_kind)
@@ -373,10 +375,9 @@ def _secondary_radiance(
     at = h["at"]
     out = []
     for k in range(3):
-        shade = (
-            at[A_EMISSIVE + k] * at[A_ESTR]
-            + at[A_ALBEDO + k] * direct[k] / M_PI
-        )
+        shade = at[A_ALBEDO + k] * direct[k] / M_PI
+        if not realtime:
+            shade = at[A_EMISSIVE + k] * at[A_ESTR] + shade
         out.append(
             jnp.where(hit, shade, jnp.where(active, env[k], 0.0))
         )
@@ -401,6 +402,7 @@ def _fused_kernel(
     tile_r: int,
     env_kind: int,
     block_w: int = 0,
+    realtime: bool = False,
 ):
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -459,17 +461,24 @@ def _fused_kernel(
     direct = _direct_lighting(mt_ref, const_ref, pos, normal, u1, hit)
 
     # ---- indirect diffuse bounce direction (draws u1/u2 or u2/u3) ---------
-    r0_dif = jnp.where(is_mc, u2, u1)
-    r1_dif = jnp.where(is_mc, u3, u2)
-    diff_dir = _hemisphere_dir(normal, r0_dif, r1_dif, cosine)
+    # (realtime mode traces no indirect diffuse, RealtimeRaytracing.hlsl —
+    # its phong draws therefore always use the no-diffuse slots)
+    if not realtime:
+        r0_dif = jnp.where(is_mc, u2, u1)
+        r1_dif = jnp.where(is_mc, u3, u2)
+        diff_dir = _hemisphere_dir(normal, r0_dif, r1_dif, cosine)
 
     # ---- Phong specular lobe (samplePhongLobe parity) ----------------------
-    r0_ph = jnp.where(
-        no_ind, jnp.where(is_mc, u2, u1), jnp.where(is_mc, u4, u3)
-    )
-    r1_ph = jnp.where(
-        no_ind, jnp.where(is_mc, u3, u2), jnp.where(is_mc, u5, u4)
-    )
+    if realtime:
+        r0_ph = jnp.where(is_mc, u2, u1)
+        r1_ph = jnp.where(is_mc, u3, u2)
+    else:
+        r0_ph = jnp.where(
+            no_ind, jnp.where(is_mc, u2, u1), jnp.where(is_mc, u4, u3)
+        )
+        r1_ph = jnp.where(
+            no_ind, jnp.where(is_mc, u3, u2), jnp.where(is_mc, u5, u4)
+        )
     mtype = at[A_TYPE]
     refl = at[A_REFL]
     spec_active = (
@@ -501,24 +510,25 @@ def _fused_kernel(
     # Cornell walls) skip a third of their work.
     spec_any = jnp.any(spec_active)
 
-    @pl.when(~no_ind)
-    def _sec_diffuse():
-        s3 = _secondary_radiance(
-            mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
-        )
-        for k in range(3):
-            sec_ref[k, :] = s3[k]
+    if not realtime:
+        @pl.when(~no_ind)
+        def _sec_diffuse():
+            s3 = _secondary_radiance(
+                mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
+            )
+            for k in range(3):
+                sec_ref[k, :] = s3[k]
 
-    @pl.when(no_ind)
-    def _sec_diffuse_zero():
-        for k in range(3):
-            sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+        @pl.when(no_ind)
+        def _sec_diffuse_zero():
+            for k in range(3):
+                sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
 
     @pl.when(spec_any)
     def _sec_spec():
         s3 = _secondary_radiance(
             mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active,
-            env_kind,
+            env_kind, realtime=realtime,
         )
         for k in range(3):
             sec_ref[3 + k, :] = s3[k]
@@ -528,19 +538,22 @@ def _fused_kernel(
         for k in range(3):
             sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
 
-    sec = tuple(sec_ref[k, :] for k in range(3))
     spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
 
-    # ---- combine (integrator.trace_rays epilogue parity) -------------------
-    nol = _saturate(_dot3(normal, diff_dir))
-    indirect = tuple(
-        jnp.where(
-            no_ind,
-            0.0,
-            jnp.where(cosine > 0.5, sec[k] * M_PI, sec[k] * (nol * TWO_PI)),
+    if not realtime:
+        sec = tuple(sec_ref[k, :] for k in range(3))
+        # ---- combine (integrator.trace_rays epilogue parity) ---------------
+        nol = _saturate(_dot3(normal, diff_dir))
+        indirect = tuple(
+            jnp.where(
+                no_ind,
+                0.0,
+                jnp.where(
+                    cosine > 0.5, sec[k] * M_PI, sec[k] * (nol * TWO_PI)
+                ),
+            )
+            for k in range(3)
         )
-        for k in range(3)
-    )
     ratio = jnp.where(
         pdf > 1e-30,
         brdf / jnp.maximum(pdf, 1e-30),
@@ -548,6 +561,29 @@ def _fused_kernel(
     )
     cosi = _saturate(-_dot3(d, normal))
     pw5 = jnp.power(1.0 - cosi, 5.0)
+
+    if realtime:
+        # Realtime epilogue (trace_rays mode="realtime" parity): two AOVs +
+        # gbuffer rows, miss routes env into the direct AOV
+        # (RealtimeRaytracing.hlsl:119-126). Rows: 0-2 direct, 3-5 indirect
+        # specular, 6-8 albedo, 9 roughness.
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+        for k in range(3):
+            specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
+            f0 = at[A_SPECULAR + k]
+            fresnel = jnp.where(spec_active, f0 + (1.0 - f0) * pw5, 0.0)
+            albedo = at[A_ALBEDO + k]
+            da = albedo * direct[k] / M_PI
+            sa = refl * specular * fresnel
+            out_ref[k, :] = _sanitize(jnp.where(hit, da, env_primary[k]))
+            out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
+            out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
+            out_ref[10 + k, :] = _sanitize(
+                jnp.where(hit, da + sa, env_primary[k])
+            )
+        out_ref[9, :] = jnp.where(hit, at[A_ROUGH], 0.0)
+        return
+
     color = []
     show_direct = const_ref[1, F_SHOW_DIRECT] > 0.5
     show_albedo = const_ref[1, F_SHOW_ALBEDO] > 0.5
@@ -581,7 +617,7 @@ def _fused_kernel(
 
 def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     """Static eligibility for the megakernel path."""
-    if mode != "progressive" or ao_only:
+    if mode not in ("progressive", "realtime") or ao_only:
         return False
     if "bvh" in scene or "tlas" in scene:
         return False
@@ -605,11 +641,7 @@ def _pick_tile(c: int) -> int:
     return 4096 if c <= 64 else 1024
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("width", "height", "env_kind", "interpret"),
-)
-def fused_progressive_sum(
+def _fused_dispatch(
     scene: dict,
     options: dict,
     cameras: dict,
@@ -617,8 +649,12 @@ def fused_progressive_sum(
     height: int,
     env_kind: int,
     interpret: bool = False,
-) -> jnp.ndarray:
-    """Sum of S progressive samples, one kernel launch.
+    realtime: bool = False,
+):
+    """Shared host side of the megakernel: packs constants/cameras/seeds and
+    launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
+
+    Progressive: sum of S samples accumulated in the out block.
 
     cameras: CameraParams pytree stacked on a leading [S] axis (jitter
     already drawn per sample; origin offset applied here at jitter_scale=30,
@@ -661,7 +697,7 @@ def fused_progressive_sum(
         )  # blocked position j -> raster pixel id
 
     # --- camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12) ------------
-    jit = cameras["jitter"] * 30.0  # jitter_scale, progressive
+    jit = cameras["jitter"] * (10.0 if realtime else 30.0)  # jitter scales
     origin = cameras["eye"] + jnp.concatenate(
         [jit, jnp.zeros((s_count, 1), jnp.float32)], axis=1
     )
@@ -732,6 +768,7 @@ def fused_progressive_sum(
             tile_r=tile_r,
             env_kind=env_kind,
             block_w=block_w,
+            realtime=realtime,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -746,9 +783,13 @@ def fused_progressive_sum(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
+            (16 if realtime else 8, tile_r),
+            lambda i, s: (0, i),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((8, r_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (16 if realtime else 8, r_pad), jnp.float32
+        ),
         scratch_shapes=[pltpu.VMEM((8, tile_r), jnp.float32)],
         interpret=interpret,
     )(
@@ -759,9 +800,68 @@ def fused_progressive_sum(
         seeds,
     )
 
-    colors = out[:3, :n].T  # [n, 3] in blocked order when permuted
+    inv = None
     if perm is not None:
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n, dtype=np.int64)
-        colors = colors[jnp.asarray(inv)]
-    return colors.reshape(height, width, 3)
+    return out[:, :n], inv
+
+
+def _unperm(rows: jnp.ndarray, inv) -> jnp.ndarray:
+    """[k, n] rows -> [H*W, k] raster order."""
+    t = rows.T
+    return t if inv is None else t[jnp.asarray(inv)]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "env_kind", "interpret"),
+)
+def fused_progressive_sum(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum of S progressive samples, one kernel launch. [H, W, 3]."""
+    out, inv = _fused_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret
+    )
+    return _unperm(out[:3], inv).reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "env_kind", "interpret"),
+)
+def fused_realtime_outputs(
+    scene: dict,
+    options: dict,
+    camera: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> dict:
+    """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
+    2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
+    total, no indirect diffuse) returning the pipeline's AOV dict."""
+    cameras = jax.tree.map(lambda x: x[None], camera)
+    out, inv = _fused_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        realtime=True,
+    )
+    def img3(r0):
+        return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
+
+    rough = _unperm(out[9:10], inv).reshape(height, width)
+    return {
+        "direct": img3(0),
+        "indirect_specular": img3(3),
+        "albedo": img3(6),
+        "roughness": rough,
+        "color": img3(10),
+    }

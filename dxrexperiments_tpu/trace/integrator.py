@@ -737,6 +737,30 @@ def make_render_step(
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
 
+    # Realtime megakernel fast path: the whole RealtimeRaytracing.hlsl tree
+    # (primary + 2 shadows + Phong bounce with closest + 2 shadows) as ONE
+    # Pallas launch with all five AOVs written from registers.
+    from ..ops import fused_sample_pallas
+
+    resolved = resolve_impl(impl)
+    use_fused_rt = (
+        mode == "realtime"
+        and not dynamic
+        and jitter_scale == 10.0
+        and resolved in ("pallas", "pallas_interpret")
+        and fused_sample_pallas.supports_fused(scene, "realtime", ao_only)
+    )
+    if use_fused_rt and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+        @jax.jit
+        def step_rt(options: dict, camera: dict, lights: dict, env: dict) -> dict:
+            full = dict(geo, lights=lights, env=env)
+            return fused_sample_pallas.fused_realtime_outputs(
+                full, options, camera, width, height, env_kind,
+                interpret=(resolved == "pallas_interpret"),
+            )
+
+        return step_rt
+
     if not dynamic and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
         @jax.jit
         def step(options: dict, camera: dict, lights: dict, env: dict) -> dict:

@@ -154,8 +154,65 @@ def test_supports_fused_gating():
     scene = cornell()
     assert fused_sample_pallas.supports_fused(scene, "progressive", False)
     assert not fused_sample_pallas.supports_fused(scene, "progressive", True)
-    assert not fused_sample_pallas.supports_fused(scene, "realtime", False)
+    assert fused_sample_pallas.supports_fused(scene, "realtime", False)
+    assert not fused_sample_pallas.supports_fused(scene, "realtime", True)
     big = dict(scene, mt_pack=jnp.zeros((4, 512, 16)))
     assert not fused_sample_pallas.supports_fused(big, "progressive", False)
     lat = dict(scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32)))
     assert not fused_sample_pallas.supports_fused(lat, "progressive", False)
+
+
+def test_fused_realtime_matches_wavefront():
+    """The fused realtime megakernel must reproduce the wavefront realtime
+    path's five outputs (fp-reassociation tolerance)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.trace.integrator import default_options, render_sample
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+
+    w = h = 48
+    sc, cam = build_scene("cornell-glossy")
+    cam.set_aspect(w, h)
+    scene = sc.build()
+    opts = default_options()
+    camp = camera_params(cam, jitter=(0.003, -0.002), frame_count=5)
+    ref = render_sample(
+        scene, opts, camp, w, h, mode="realtime", jitter_scale=10.0,
+        impl="pallas_interpret",
+    )
+    got = fsp.fused_realtime_outputs(
+        scene, opts, camp, w, h, int(scene["env"]["kind"]), interpret=True
+    )
+    for k in ("color", "direct", "indirect_specular", "albedo", "roughness"):
+        np.testing.assert_allclose(
+            np.asarray(ref[k]), np.asarray(got[k]), atol=5e-6, err_msg=k
+        )
+
+
+def test_make_render_step_uses_fused_realtime():
+    """make_render_step returns the fused realtime step for eligible scenes
+    and its output feeds the pipeline contract (direct + indirect_specular)."""
+    import numpy as np
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.trace.integrator import make_render_step
+
+    w = h = 32
+    sc, cam = build_scene("cornell-glossy")
+    cam.set_aspect(w, h)
+    scene = sc.build()
+    step = make_render_step(
+        scene, w, h, mode="realtime", jitter_scale=10.0,
+        impl="pallas_interpret",
+    )
+    camp = camera_params(cam, frame_count=1)
+    out = step(
+        __import__("dxrexperiments_tpu.trace.integrator",
+                   fromlist=["default_options"]).default_options(),
+        camp, scene["lights"], scene["env"],
+    )
+    assert set(out) >= {"color", "direct", "indirect_specular", "albedo",
+                        "roughness"}
+    assert np.asarray(out["direct"]).shape == (h, w, 3)
