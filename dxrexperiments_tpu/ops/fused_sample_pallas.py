@@ -54,7 +54,15 @@ RAY_EPSILON = 1.0e-4  # RaytracingCommon.hlsli:9
 RAY_MAX_T = 1.0e38  # RaytracingCommon.hlsli:8
 M_PI = 3.14159265358979323846
 TWO_PI = 2.0 * M_PI
-MAX_TRIS = 256  # pair arrays [C, TILE_R] must fit VMEM ~6x over
+MAX_TRIS = 256  # one chunk. The sweep helpers below are chunk-looped and
+# CPU-verified to CHUNK_T-multiples, but raising this cap to mid-size
+# scenes OOMs VMEM on real hardware (measured: 4000 tris / 16 unrolled
+# chunks -> Mosaic holds 208 MB of chunk intermediates live vs the 128 MB
+# budget), and the projected win over the wavefront path at 4k tris is
+# small (~178 vs 228 ms/sample: both are brute-force-bound). Mid-size
+# scenes want the fused TRAVERSAL megakernel (ROADMAP), not bigger brute
+# sweeps; a lax.fori_loop chunk body (one live chunk) is the stepping
+# stone if that path needs >256 tris before the BVH lands.
 N_DRAWS = 5  # max LCG draws any sample consumes (see module docstring)
 
 # const_pack row 0 (lights + env colors)
@@ -254,14 +262,27 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
 # the ~45 scalar branches per sample-tile and the VMEM scratch
 # accumulation they force (merged best-hit state cannot live in vregs
 # across pl.when bodies) cost far more than the ~30-40% pair-sweep savings.
-# The flat [C, R] sweeps below keep everything in registers and pipeline
-# cleanly; _pair_terms retains the r0/rn row window for future use.
+# The sweeps below instead CHUNK the triangle list in an unconditional
+# static loop with register-resident merges — identical codegen to the
+# flat sweep for C <= CHUNK_T (one iteration), and the doorway to
+# mid-size meshes (susanne-class) without [C, R] intermediates blowing
+# VMEM. _pair_terms's r0/rn row window feeds each chunk.
+
+CHUNK_T = 256  # triangles per in-kernel chunk ([CHUNK_T, TILE_R] fits VMEM)
 
 
 def _any_hit(mt_ref, o, d, tmin, tmax):
     """Occlusion sweep: True rows where any triangle blocks. [TILE_R]."""
-    valid, _, _, _, _ = _pair_terms(mt_ref, o, d, tmin, tmax, False, False)
-    return jnp.max(valid.astype(jnp.float32), axis=0) > 0.5
+    c = mt_ref.shape[0] // 4
+    occ = None
+    for r0 in range(0, c, CHUNK_T):
+        rn = min(CHUNK_T, c - r0)
+        valid, _, _, _, _ = _pair_terms(
+            mt_ref, o, d, tmin, tmax, False, False, r0=r0, rn=rn
+        )
+        part = jnp.max(valid.astype(jnp.float32), axis=0)
+        occ = part if occ is None else jnp.maximum(occ, part)
+    return occ > 0.5
 
 
 def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool):
@@ -269,31 +290,58 @@ def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool):
 
     Returns dict of [TILE_R] rows: hit (bool), t (miss -> -1), pos (3-tuple),
     normal (unit 3-tuple), and material rows via the one-hot MXU gather.
-    Single-chunk version of intersect_pallas._closest_kernel.
+    Chunked version of intersect_pallas._closest_kernel: ascending-chunk
+    merge with a strict '<' keeps the flat sweep's lowest-row tie-breaking.
     """
-    _, t_pair, us, vs, det_abs = _pair_terms(
-        mt_ref, o, d, tmin, tmax, cull, True
-    )
-    c_t = jnp.min(t_pair, axis=0)
-    rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
-    big_i = jnp.int32(2**30)
-    c_local = jnp.min(jnp.where(t_pair == c_t[None, :], rows, big_i), axis=0)
-    sel = (rows == c_local[None, :]).astype(jnp.float32)
+    c = mt_ref.shape[0] // 4
+    best_t = None
+    for r0 in range(0, c, CHUNK_T):
+        rn = min(CHUNK_T, c - r0)
+        _, t_pair, us, vs, det_abs = _pair_terms(
+            mt_ref, o, d, tmin, tmax, cull, True, r0=r0, rn=rn
+        )
+        k_t = jnp.min(t_pair, axis=0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+        big_i = jnp.int32(2**30)
+        k_local = jnp.min(
+            jnp.where(t_pair == k_t[None, :], rows, big_i), axis=0
+        )
+        sel = (rows == k_local[None, :]).astype(jnp.float32)
 
-    def pick(x):
-        return jnp.sum(x * sel, axis=0)
+        def pick(x, sel=sel):
+            return jnp.sum(x * sel, axis=0)
 
-    inv_det = 1.0 / jnp.maximum(pick(det_abs), 1e-12)
-    c_u = pick(us) * inv_det
-    c_v = pick(vs) * inv_det
+        inv_det = 1.0 / jnp.maximum(pick(det_abs), 1e-12)
+        k_u = pick(us) * inv_det
+        k_v = pick(vs) * inv_det
+        k_row = (k_local + r0).astype(jnp.float32)
+        if best_t is None:
+            best_t, best_row, c_u, c_v = k_t, k_row, k_u, k_v
+        else:
+            better = k_t < best_t
+            best_t = jnp.where(better, k_t, best_t)
+            best_row = jnp.where(better, k_row, best_row)
+            c_u = jnp.where(better, k_u, c_u)
+            c_v = jnp.where(better, k_v, c_v)
+    c_t = best_t
 
-    at = jax.lax.dot_general(
-        attr_ref[:, :],
-        sel,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    # one-hot attribute gather, chunked so sel stays [CHUNK_T, R]
+    at = None
+    rowf = best_row
+    for r0 in range(0, c, CHUNK_T):
+        rn = min(CHUNK_T, c - r0)
+        rows = jax.lax.broadcasted_iota(
+            jnp.int32, (rn, c_t.shape[0]), 0
+        ) + r0
+        sel = (rows == rowf.astype(jnp.int32)[None, :]).astype(jnp.float32)
+        part = jax.lax.dot_general(
+            attr_ref[:, r0 : r0 + rn],
+            sel,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        at = part if at is None else at + part
 
     hit = c_t < BIG
     t = jnp.where(hit, c_t, -1.0)

@@ -216,3 +216,44 @@ def test_make_render_step_uses_fused_realtime():
     assert set(out) >= {"color", "direct", "indirect_specular", "albedo",
                         "roughness"}
     assert np.asarray(out["direct"]).shape == (h, w, 3)
+
+
+def test_fused_multichunk_matches_wavefront():
+    """A >CHUNK_T-triangle scene exercises the in-kernel chunk loops; the
+    fused sample must still match the wavefront path."""
+    import numpy as np
+    from dxrexperiments_tpu.core.camera import Camera, camera_params
+    from dxrexperiments_tpu.scene import Scene
+    from dxrexperiments_tpu.scene.procedural import random_triangle_soup
+    from dxrexperiments_tpu.scene.materials import Material
+    from dxrexperiments_tpu.scene.lights import directional_light, point_light
+    from dxrexperiments_tpu.scene import envmap as em
+    from dxrexperiments_tpu.trace.integrator import default_options, render_sample
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+
+    mesh = random_triangle_soup(700, seed=4, extent=3.0)
+    sc = Scene()
+    sc.add_material(Material.reference_default())
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.2, -0.8, -0.5), (1.0, 1.0, 0.9, 0.8)),
+        "point": point_light((0.0, 4.0, 0.0), (1.0, 0.9, 0.7, 5.0)),
+    }
+    sc.environment = em.gradient_env()
+    scene = sc.build()
+    assert int(scene["mt_pack"].shape[1]) > fsp.CHUNK_T
+
+    w = h = 40
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.5, 9.0), (0.0, 0.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(w, h)
+    opts = default_options()
+    camp = camera_params(cam, jitter=(0.001, -0.002), frame_count=3)
+    ref = render_sample(scene, opts, camp, w, h, impl="pallas_interpret")
+    cams = __import__("jax").tree.map(lambda x: x[None], camp)
+    got = fsp.fused_progressive_sum(
+        scene, opts, cams, w, h, int(scene["env"]["kind"]), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref["color"]), np.asarray(got), atol=5e-5
+    )
