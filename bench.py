@@ -32,6 +32,17 @@ DISPATCHES = int(os.environ.get("BENCH_DISPATCHES", "8"))
 REPS = 3
 BASELINE_MRAYS = 500.0
 
+# Secondary BASELINE-config numbers recorded at a specific commit (see
+# RESULTS.md for protocols); update BOTH when re-measuring.
+SECONDARY_RECORDED_AT = "round2/33d502c"
+SECONDARY_RECORDED = {
+    "realtime_denoise_1080p_fps": 54.5,
+    "instanced_983k_512_flattened_ms": 627,
+    "instanced_983k_512_two_level_ms": 727,
+    "closest_262k_rays_200k_tris_ms": 35.8,
+    "hdr_env_1080p_spp_per_sec": 6.33,
+}
+
 
 def main() -> None:
     import jax
@@ -97,15 +108,13 @@ def main() -> None:
                 "value": round(mrays, 2),
                 "unit": "Mrays/s/chip",
                 "vs_baseline": round(mrays / BASELINE_MRAYS, 4),
-                # Other BASELINE configs, recorded from this round's fresh
-                # TPU runs (protocols + scripts in RESULTS.md) — not
-                # re-measured on every bench invocation.
+                # Other BASELINE configs, recorded from the tagged round's
+                # fresh TPU runs (protocols + scripts in RESULTS.md) — not
+                # re-measured on every bench invocation; `recorded_at`
+                # distinguishes them from this run's fresh measurement.
                 "secondary_recorded": {
-                    "realtime_denoise_1080p_fps": 54.5,
-                    "instanced_983k_512_flattened_ms": 627,
-                    "instanced_983k_512_two_level_ms": 727,
-                    "closest_262k_rays_200k_tris_ms": 35.8,
-                    "hdr_env_1080p_spp_per_sec": 6.33,
+                    "recorded_at": SECONDARY_RECORDED_AT,
+                    **SECONDARY_RECORDED,
                 },
             }
         )

@@ -28,6 +28,8 @@ Data layout (all consumed by ops/traverse2_pallas.py):
     row 12    blas_root (node id into blas_nodes)
     row 13    mat_override (-1 = keep mesh material ids)
     row 14    original instance index (for user-visible inst ids)
+    row 15    blas fat root (node id into blasf_nodes; written by
+              _refit_device and read as iv[15] by the fat two-level kernel)
   blas_nodes [8, Mb] f32 — all unique-mesh BLASes concatenated (children and
     leaf slot starts rebased at concat).
   mt_rows [S, 128] f32 — object-space Plücker rows in BLAS leaf-slot order

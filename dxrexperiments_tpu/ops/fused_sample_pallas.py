@@ -680,76 +680,15 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     return int(scene["env"]["kind"]) in (0, 1)
 
 
-def _pick_tile(c: int) -> int:
-    import os
-
-    override = int(os.environ.get("FUSED_TILE", "0"))
-    if override:
-        return override
-    return 4096 if c <= 64 else 1024
-
-
-def _fused_dispatch(
-    scene: dict,
-    options: dict,
-    cameras: dict,
-    width: int,
-    height: int,
-    env_kind: int,
-    interpret: bool = False,
-    realtime: bool = False,
-):
-    """Shared host side of the megakernel: packs constants/cameras/seeds and
-    launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
-
-    Progressive: sum of S samples accumulated in the out block.
-
-    cameras: CameraParams pytree stacked on a leading [S] axis (jitter
-    already drawn per sample; origin offset applied here at jitter_scale=30,
-    ProgressiveRaytracing.hlsl:28-30 / integrator.primary_ray_grid).
-    Returns [H, W, 3] float32 (divide by S for the mean).
-    """
+def pack_cameras(cameras: dict, realtime: bool) -> jnp.ndarray:
+    """Camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12); jitter folded
+    into the origin at the mode's scale (ProgressiveRaytracing.hlsl:28-30)."""
     s_count = int(cameras["frame_count"].shape[0])
-    n = width * height
-    c = int(scene["mt_pack"].shape[1])
-    tile_r = _pick_tile(c)
-    r_pad = -(-n // tile_r) * tile_r
-
-    # Blocked pixel order (square-ish blocks of tile_r pixels) when the
-    # image tiles evenly — concentrates material variation so the in-kernel
-    # spec_any skip fires on most tiles.
-    # Blocked pixel order measured ~6% SLOWER than raster slabs on the
-    # Cornell bench (141 vs 149.6 Mrays/s at block_w 64/128/256) even though
-    # compact blocks skip the spec secondary on more tiles — the raster
-    # slabs' skips plus cheaper raygen win. Kept as an env opt-in for
-    # scenes whose glossy coverage is genuinely block-local.
-    import os
-
-    block_w = int(os.environ.get("FUSED_BLOCK_W", "0"))
-    block_h = tile_r // block_w if block_w else 1
-    if not block_w or width % block_w or height % block_h:
-        block_w = 0  # raster fallback
-        perm = None
-    else:
-        pys, pxs = np.meshgrid(
-            np.arange(height, dtype=np.int64),
-            np.arange(width, dtype=np.int64),
-            indexing="ij",
-        )
-        lin2d = pys * width + pxs
-        perm = (
-            lin2d.reshape(height // block_h, block_h,
-                          width // block_w, block_w)
-            .transpose(0, 2, 1, 3)
-            .reshape(-1)
-        )  # blocked position j -> raster pixel id
-
-    # --- camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12) ------------
-    jit = cameras["jitter"] * (10.0 if realtime else 30.0)  # jitter scales
+    jit = cameras["jitter"] * (10.0 if realtime else 30.0)
     origin = cameras["eye"] + jnp.concatenate(
         [jit, jnp.zeros((s_count, 1), jnp.float32)], axis=1
     )
-    cam_pack = jnp.concatenate(
+    return jnp.concatenate(
         [
             origin,
             cameras["u"],
@@ -760,19 +699,31 @@ def _fused_dispatch(
         axis=1,
     )
 
-    # --- lights / env / flags pack [2, 16] ----------------------------------
-    # (accepts the single-light or stacked [1, ...] rig forms)
+
+def pack_consts(scene: dict, options: dict, env_kind: int) -> jnp.ndarray:
+    """Lights / env / flags pack [2, 16] (row layout: C_* / F_* constants).
+
+    normalize_lights canonicalizes every rig form supports_fused accepts
+    (single dicts, one-light lists, stacked [1, ...] arrays) so the row
+    unpack below never sees a list."""
+    from ..scene.lights import normalize_lights
+
+    lights_n = normalize_lights(scene["lights"])
     dl = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
-          for k, v in scene["lights"]["dir"].items()}
+          for k, v in lights_n["dir"].items()}
     pt = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
-          for k, v in scene["lights"]["point"].items()}
+          for k, v in lights_n["point"].items()}
     fwd = dl["forward"]
     n2 = jnp.sum(fwd * fwd)
     inv = jnp.where(n2 > 1e-8, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-8)), 0.0)
     dl_dir = -fwd * inv
     env = scene["env"]
-    env0 = env["const_color"] if env_kind == 0 else env["grad_horizon"]
-    env1 = jnp.zeros(3, jnp.float32) if env_kind == 0 else env["grad_zenith"]
+    if env_kind == 0:
+        env0, env1 = env["const_color"], jnp.zeros(3, jnp.float32)
+    elif env_kind == 1:
+        env0, env1 = env["grad_horizon"], env["grad_zenith"]
+    else:  # texture env kinds sample outside the kernel (hybrid path)
+        env0 = env1 = jnp.zeros(3, jnp.float32)
     row0 = jnp.concatenate(
         [
             dl_dir,
@@ -797,7 +748,84 @@ def _fused_dispatch(
         ]
     )
     row1 = jnp.concatenate([flags, env1, jnp.zeros(5, jnp.float32)])
-    const_pack = jnp.stack([row0, row1])
+    return jnp.stack([row0, row1])
+
+
+def _pick_tile(c: int) -> int:
+    return 4096 if c <= 64 else 1024
+
+
+def _env_knobs(c: int) -> tuple[int, int]:
+    """Read the FUSED_TILE / FUSED_BLOCK_W sweep knobs from the environment.
+
+    Called from the UNJITTED wrappers only, so changes between calls reach
+    the jit cache as static-arg changes instead of being silently ignored."""
+    import os
+
+    tile_r = int(os.environ.get("FUSED_TILE", "0")) or _pick_tile(c)
+    block_w = int(os.environ.get("FUSED_BLOCK_W", "0"))
+    return tile_r, block_w
+
+
+def _fused_dispatch(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+    realtime: bool = False,
+    tile_r: int = 0,
+    block_w: int = 0,
+):
+    """Shared host side of the megakernel: packs constants/cameras/seeds and
+    launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
+
+    Progressive: sum of S samples accumulated in the out block.
+
+    cameras: CameraParams pytree stacked on a leading [S] axis (jitter
+    already drawn per sample; origin offset applied here at jitter_scale=30,
+    ProgressiveRaytracing.hlsl:28-30 / integrator.primary_ray_grid).
+    Returns [H, W, 3] float32 (divide by S for the mean).
+    """
+    s_count = int(cameras["frame_count"].shape[0])
+    n = width * height
+    c = int(scene["mt_pack"].shape[1])
+    tile_r = tile_r or _pick_tile(c)
+    r_pad = -(-n // tile_r) * tile_r
+
+    # Blocked pixel order (square-ish blocks of tile_r pixels) when the
+    # image tiles evenly — concentrates material variation so the in-kernel
+    # spec_any skip fires on most tiles.
+    # Blocked pixel order measured ~6% SLOWER than raster slabs on the
+    # Cornell bench (141 vs 149.6 Mrays/s at block_w 64/128/256) even though
+    # compact blocks skip the spec secondary on more tiles — the raster
+    # slabs' skips plus cheaper raygen win. Kept as an env opt-in for
+    # scenes whose glossy coverage is genuinely block-local.
+    # block_w must divide tile_r exactly — a truncated block_h would make
+    # the in-kernel px/py mapping disagree with the host permutation.
+    block_h = tile_r // block_w if block_w else 1
+    if (not block_w or tile_r % block_w or width % block_w
+            or height % block_h):
+        block_w = 0  # raster fallback
+        perm = None
+    else:
+        pys, pxs = np.meshgrid(
+            np.arange(height, dtype=np.int64),
+            np.arange(width, dtype=np.int64),
+            indexing="ij",
+        )
+        lin2d = pys * width + pxs
+        perm = (
+            lin2d.reshape(height // block_h, block_h,
+                          width // block_w, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )  # blocked position j -> raster pixel id
+
+    cam_pack = pack_cameras(cameras, realtime)
+    const_pack = pack_consts(scene, options, env_kind)
 
     # --- TEA pixel seeds per sample (outside; LCG draws run in-kernel) ------
     if perm is not None:
@@ -863,8 +891,21 @@ def _unperm(rows: jnp.ndarray, inv) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "env_kind", "interpret"),
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+    ),
 )
+def _fused_progressive_sum_impl(
+    scene, options, cameras, width, height, env_kind, interpret,
+    tile_r, block_w,
+):
+    out, inv = _fused_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r=tile_r, block_w=block_w,
+    )
+    return _unperm(out[:3], inv).reshape(height, width, 3)
+
+
 def fused_progressive_sum(
     scene: dict,
     options: dict,
@@ -875,32 +916,27 @@ def fused_progressive_sum(
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Sum of S progressive samples, one kernel launch. [H, W, 3]."""
-    out, inv = _fused_dispatch(
-        scene, options, cameras, width, height, env_kind, interpret
+    tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
+    return _fused_progressive_sum_impl(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r, block_w,
     )
-    return _unperm(out[:3], inv).reshape(height, width, 3)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "env_kind", "interpret"),
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+    ),
 )
-def fused_realtime_outputs(
-    scene: dict,
-    options: dict,
-    camera: dict,
-    width: int,
-    height: int,
-    env_kind: int,
-    interpret: bool = False,
-) -> dict:
-    """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
-    2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
-    total, no indirect diffuse) returning the pipeline's AOV dict."""
+def _fused_realtime_outputs_impl(
+    scene, options, camera, width, height, env_kind, interpret,
+    tile_r, block_w,
+):
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
-        realtime=True,
+        realtime=True, tile_r=tile_r, block_w=block_w,
     )
     def img3(r0):
         return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
@@ -913,3 +949,22 @@ def fused_realtime_outputs(
         "roughness": rough,
         "color": img3(10),
     }
+
+
+def fused_realtime_outputs(
+    scene: dict,
+    options: dict,
+    camera: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> dict:
+    """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
+    2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
+    total, no indirect diffuse) returning the pipeline's AOV dict."""
+    tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
+    return _fused_realtime_outputs_impl(
+        scene, options, camera, width, height, env_kind, interpret,
+        tile_r, block_w,
+    )

@@ -93,8 +93,16 @@ def pack_for_traversal(
     # (4 groups x 16) on lanes (padded to 128). A leaf's [K, 128] DMA slice
     # is sublane-aligned (K and slot starts are multiples of 8) and the
     # kernel reads coefficient columns at static lane indices.
+    # Lanes 64..73 carry the per-slot hit attributes (n0/n1/n2 vertex
+    # normals + material id = attr_pack rows 0..9) so the fused traversal
+    # megakernel (ops/fused_traverse_pallas.py) can merge closest-hit
+    # attributes per leaf visit without any post-hoc gather.
     mt_rows = np.zeros((s_pad, 128), np.float32)
     mt_rows[:, :64] = np.transpose(mt_sorted, (1, 0, 2)).reshape(s_pad, 64)
+    attr_all = np.asarray(scene["attr_pack"])  # [32, T]
+    mt_rows[:s, 64:74] = np.where(
+        valid[:, None], attr_all[0:10, src].T, 0.0
+    )
 
     m_pad = max(-(-m // 128) * 128, 128)
     bvh_nodes = np.zeros((8, m_pad), np.float32)
@@ -136,6 +144,10 @@ def pack_for_traversal(
         "bvh8_nodes": jnp.asarray(bvh8),
         "mt_rows": jnp.asarray(mt_rows),
         "slot_tri": jnp.asarray(slot_tri_pad),
+        # version marker: mt_rows lanes 64..73 carry per-slot attributes
+        # (consumed by ops/fused_traverse_pallas; absent in pre-round-3
+        # cached scene packs, which the supports gate rejects)
+        "mt_attr_lanes": jnp.asarray(1, jnp.int32),
         "leaf_size": leaf_size,
     }
     if attr_sorted is not None:

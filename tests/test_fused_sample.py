@@ -257,3 +257,22 @@ def test_fused_multichunk_matches_wavefront():
     np.testing.assert_allclose(
         np.asarray(ref["color"]), np.asarray(got), atol=5e-5
     )
+
+
+def test_fused_list_form_light_rig():
+    """supports_fused approves list-form rigs; dispatch must not crash on
+    them (ADVICE r2: .items() on a raw list) and must match the dict form."""
+    scene = cornell()
+    scene_list = dict(
+        scene,
+        lights={
+            "dir": [scene["lights"]["dir"]],
+            "point": [scene["lights"]["point"]],
+        },
+    )
+    assert fused_sample_pallas.supports_fused(scene_list, "progressive", False)
+    opts = default_options()
+    cam = cam_stack([0])[0]
+    got = fused_one(scene_list, opts, cam)
+    want = fused_one(scene, opts, cam)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
