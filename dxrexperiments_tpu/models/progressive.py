@@ -92,7 +92,7 @@ def make_progressive_step(
     megakernel (ops/fused_sample_pallas.py) — the fast path for BASELINE
     config 1.
     """
-    from ..ops import fused_sample_pallas
+    from ..ops import fused_sample_pallas, fused_traverse_pallas
     from ..trace.integrator import (
         GEO_CONST_LIMIT_BYTES,
         _geo_bytes,
@@ -107,6 +107,15 @@ def make_progressive_step(
         "pallas",
         "pallas_interpret",
     ) and fused_sample_pallas.supports_fused(scene, "progressive", ao_only)
+    # BVH scenes: the fused TRAVERSAL megakernel (whole sample in one launch
+    # with in-kernel packet traversal — mid-size-scene fast path, round 3)
+    use_fused_trav = (
+        not use_fused
+        and resolved in ("pallas", "pallas_interpret")
+        and fused_traverse_pallas.supports_fused_traverse(
+            scene, "progressive", ao_only
+        )
+    )
     fused_interpret = resolved == "pallas_interpret"
 
     def _step_impl(accum, options, camera, lights, env, max_iterations, geo_in):
@@ -130,14 +139,20 @@ def make_progressive_step(
             camera["accum_count"] if s_count == 1 else camera["accum_count"][0]
         )
 
-        if use_fused:
+        if use_fused or use_fused_trav:
+            fused_fn = (
+                fused_sample_pallas.fused_progressive_sum
+                if use_fused
+                else fused_traverse_pallas.fused_traverse_progressive_sum
+            )
+
             def sample(_):
                 cams = (
                     camera
                     if s_count > 1
                     else jax.tree.map(lambda x: x[None], camera)
                 )
-                total = fused_sample_pallas.fused_progressive_sum(
+                total = fused_fn(
                     full, options, cams, width, height, env_kind,
                     interpret=fused_interpret,
                 )

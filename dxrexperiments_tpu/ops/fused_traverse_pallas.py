@@ -1,0 +1,879 @@
+"""Fused BVH-traversal megakernel — whole-sample rendering for mid-size scenes.
+
+One Pallas kernel renders an ENTIRE progressive/realtime sample — the
+reference's whole DispatchRays tree (RayGen + primary closest-hit + 2 shadow
+rays + indirect-diffuse and Phong-specular bounces + their shadow rays,
+/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:11-145) — with
+every trace running as fat-node packet BVH traversal instead of brute-force
+pair sweeps. This is the marriage of the two round-2 fast paths:
+
+  * ops/fused_sample_pallas.py fused the shading tree but is capped at
+    MAX_TRIS=256 brute-force triangles (VMEM holds [C, R] intermediates);
+  * ops/traverse_pallas.py traverses BVHs of millions of triangles but
+    returns bare hits, paying a kernel launch + HBM round-trip + XLA
+    attribute gather per trace stage (9 of them per sample).
+
+Here each trace is an in-kernel fat-node traversal (children boxes at the
+parent, far-first pushes, double-buffered leaf DMA from HBM — the measured
+round-2 winner), and closest-hits merge the winning triangle's ATTRIBUTES
+(vertex normals + material id, pre-packed into mt_rows lanes 64..73 by
+pack_for_traversal) during leaf processing, so shading needs no post-hoc
+gather at all. Material properties come from a [16, 128] material table via
+a one-hot MXU matmul (K=128 — the MXU gather sweet spot, see
+scene/materials.py material_pack).
+
+Like the brute megakernel, samples are a grid dimension: the output block
+stays resident while S jittered samples accumulate into it.
+
+The reference anchor: the whole tree in ONE DispatchRays
+(/root/reference/libs/DXRFramework/RtContext.cpp:192-222), with the Fallback
+Layer's software BVH traversal inlined into the same GPU dispatch.
+
+Scope (supports_fused_traverse; wavefront path otherwise):
+  * progressive / realtime, no ao_only,
+  * single-level BVH scenes with the fat-node pack + attr lanes,
+  * the fixed 1-dir + 1-point light rig, <= 128 materials,
+  * env kinds constant/gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import rng
+from ..scene.materials import (
+    MP_ALBEDO,
+    MP_EMISSIVE,
+    MP_ESTR,
+    MP_MAX_MATERIALS,
+    MP_REFL,
+    MP_ROUGH,
+    MP_SPECULAR,
+    MP_TYPE,
+    material_pack,
+)
+from .fused_sample_pallas import (
+    BIG,
+    C_DLCI,
+    C_DLDIR,
+    C_ENV0,
+    C_PLCI,
+    C_PLPOS,
+    C_STRENGTH,
+    F_COSINE,
+    F_ENV1,
+    F_IS_MC,
+    F_NO_IND,
+    F_SHOW_ALBEDO,
+    F_SHOW_DIRECT,
+    F_SHOW_FRESNEL,
+    F_SHOW_IND_DIFF,
+    F_SHOW_IND_SPEC,
+    M_PI,
+    N_DRAWS,
+    RAY_EPSILON,
+    TWO_PI,
+    _dot3,
+    _hemisphere_dir,
+    _normalize3,
+    _onb,
+    _sanitize,
+    _saturate,
+    _unperm,
+    pack_cameras,
+    pack_consts,
+)
+from .traverse_pallas import MAX_STACK, _leaf_pair_test
+
+RAY_FAR = 3.0e37  # finite "infinity" for slab tests (BIG would overflow *inv)
+
+# hit_ref row layout (per-traversal scratch state)
+HR_T, HR_U, HR_V, HR_ATTR, HR_OCC = 0, 1, 2, 3, 13  # attrs: rows 3..12
+
+
+def _make_ft_kernel(
+    K: int,
+    *,
+    width: int,
+    height: int,
+    tile_r: int,
+    env_kind: int,
+    block_w: int = 0,
+    realtime: bool = False,
+):
+    def kernel(
+        cam_ref,  # SMEM [S, 16]
+        const_ref,  # SMEM [2, 16]
+        nodes_ref,  # VMEM [16, F] fat nodes
+        mat_ref,  # VMEM [16, 128] material table
+        seed_ref,  # VMEM [1, 1, tile_r] uint32
+        mt_hbm,  # ANY [S_pad, 128] triangle rows (+ attr lanes 64..73)
+        out_ref,  # VMEM [8|16, tile_r]
+        stack_ref,  # SMEM [MAX_STACK]
+        pend_ref,  # SMEM [4]
+        mt_scratch,  # VMEM [2, K, 128]
+        sem,  # DMA sem (2,)
+        hit_ref,  # VMEM [16, tile_r] per-traversal best-hit state
+        sec_ref,  # VMEM [8, tile_r] secondary radiance rows
+    ):
+        i = pl.program_id(0)
+        s = pl.program_id(1)
+
+        # ---- shared traversal machinery ----------------------------------
+        def enqueue(ptr, meta, q, process_slot):
+            start = ptr.astype(jnp.int32)
+            count = meta.astype(jnp.int32)
+            slot = q % 2
+            pend_ref[2 * slot] = start
+            pend_ref[2 * slot + 1] = count
+            row_start = pl.multiple_of(start, 8)
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(row_start, K), :],
+                mt_scratch.at[slot],
+                sem.at[slot],
+            ).start()
+
+            @pl.when(q >= 1)
+            def _process_prev():
+                prev = (q - 1) % 2
+                pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(0, K), :],  # shape-only descriptor
+                    mt_scratch.at[prev],
+                    sem.at[prev],
+                ).wait()
+                process_slot(prev)
+
+        def node_fields(node):
+            """Fat-node row extract (lane-aligned load + masked reduce)."""
+            blk = pl.multiple_of((node // 128) * 128, 128)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            sel = lane == (node - blk)
+            block = nodes_ref[:, pl.ds(blk, 128)]  # [16, 128]
+            vals = jnp.sum(jnp.where(sel, block, 0.0), axis=1)
+            return [vals[k] for k in range(16)]
+
+        def fat_loop(ob, inv, tmin, tmax, occlusion, process_slot):
+            """Front-to-back fat-node traversal (traverse_pallas
+            _make_traverse_fat_kernel shape) with best state in hit_ref."""
+            stack_ref[0] = 0
+
+            def cond(carry):
+                sp, done, _q = carry
+                return (sp > 0) & ~done
+
+            def body(carry):
+                sp, _, q0 = carry
+                node = stack_ref[sp - 1]
+                sp = sp - 1
+                f = node_fields(node)
+
+                if occlusion:
+                    tf_base = jnp.where(
+                        hit_ref[HR_OCC, :][None, :] > 0.5, -BIG, tmax[None, :]
+                    )
+                else:
+                    tf_base = jnp.minimum(tmax, hit_ref[HR_T, :])[None, :]
+
+                hits = []
+                enters = []
+                for c in range(2):
+                    lo = f[6 * c : 6 * c + 3]
+                    hi = f[6 * c + 3 : 6 * c + 6]
+                    t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
+                    t1s = [(hi[k] - ob[k]) * inv[k] for k in range(3)]
+                    tn = tmin[None, :]
+                    tf = tf_base
+                    for k in range(3):
+                        tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                        tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+                    lane_hit = tn <= tf
+                    hits.append(jnp.any(lane_hit))
+                    enters.append(jnp.min(jnp.where(lane_hit, tn, BIG)))
+
+                ptr0, m0, ptr1, m1 = f[12], f[13], f[14], f[15]
+                leaf0 = hits[0] & (m0 > 0.5)
+                int0 = hits[0] & (m0 < -0.5)
+                leaf1 = hits[1] & (m1 > 0.5)
+                int1 = hits[1] & (m1 < -0.5)
+
+                q = q0
+
+                @pl.when(leaf0)
+                def _leaf0():
+                    enqueue(ptr0, m0, q, process_slot)
+
+                q = q + jnp.where(leaf0, 1, 0)
+
+                @pl.when(leaf1)
+                def _leaf1():
+                    enqueue(ptr1, m1, q, process_slot)
+
+                q = q + jnp.where(leaf1, 1, 0)
+
+                both = int0 & int1
+                c0_near = enters[0] <= enters[1]
+                first = jnp.where(c0_near, ptr1, ptr0)  # far pushed first
+                second = jnp.where(c0_near, ptr0, ptr1)  # near pops first
+
+                @pl.when(both)
+                def _push_both():
+                    stack_ref[sp] = first.astype(jnp.int32)
+                    stack_ref[sp + 1] = second.astype(jnp.int32)
+
+                only0 = int0 & ~int1
+                only1 = int1 & ~int0
+
+                @pl.when(only0)
+                def _push0():
+                    stack_ref[sp] = ptr0.astype(jnp.int32)
+
+                @pl.when(only1)
+                def _push1():
+                    stack_ref[sp] = ptr1.astype(jnp.int32)
+
+                new_sp = sp + jnp.where(both, 2, jnp.where(only0 | only1, 1, 0))
+                if occlusion:
+                    done = (jnp.min(hit_ref[HR_OCC, :]) > 0.5) & (q == q0)
+                else:
+                    done = jnp.bool_(False)
+                return new_sp, done, q
+
+            _, _, q_final = jax.lax.while_loop(
+                cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
+            )
+
+            @pl.when(q_final >= 1)
+            def _drain():
+                prev = (q_final - 1) % 2
+                pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(0, K), :],
+                    mt_scratch.at[prev],
+                    sem.at[prev],
+                ).wait()
+                process_slot(prev)
+
+        def fetch_mat(matid):
+            """Material row fetch: one-hot [16,128] @ [128,R] MXU matmul."""
+            rows = jax.lax.broadcasted_iota(
+                jnp.int32, (MP_MAX_MATERIALS, tile_r), 0
+            )
+            sel = (rows == matid.astype(jnp.int32)[None, :]).astype(jnp.float32)
+            return jax.lax.dot_general(
+                mat_ref[:, :],
+                sel,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [16, R]
+
+        def t_closest(o, d, tmin, tmax, cull):
+            """Closest-hit traversal with fused attribute merge.
+
+            o/d 3-tuples [tile_r]; tmin/tmax [tile_r] (empty interval
+            tmax < tmin marks a lane dead — it fails every slab test, so
+            dead lanes are genuinely free). Returns (hit, t, pos, normal,
+            mat[16, R])."""
+            ob = [o[k][None, :] for k in range(3)]
+            db = [d[k][None, :] for k in range(3)]
+            mom = [
+                ob[1] * db[2] - ob[2] * db[1],
+                ob[2] * db[0] - ob[0] * db[2],
+                ob[0] * db[1] - ob[1] * db[0],
+            ]
+            inv = [
+                1.0 / jnp.where(jnp.abs(db[k]) > 1e-12, db[k], 1e-12)
+                for k in range(3)
+            ]
+            hit_ref[HR_T, :] = jnp.full((tile_r,), BIG, jnp.float32)
+            for r in range(HR_U, HR_ATTR + 10):
+                hit_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
+
+            def process_slot(slot):
+                start = pend_ref[2 * slot]
+                count = pend_ref[2 * slot + 1]
+                sc = mt_scratch.at[slot]
+                valid, ts, det_abs, us, vs = _leaf_pair_test(
+                    sc, ob, db, mom, tmin, tmax, cull, count, K
+                )
+                eps = jnp.float32(1e-12)
+                t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+                c_t = jnp.min(t_pair, axis=0)
+                rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+                c_row = jnp.min(
+                    jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                    axis=0,
+                )
+                sel = (rows == c_row[None, :]).astype(jnp.float32)
+                inv_det = 1.0 / jnp.maximum(
+                    jnp.sum(det_abs * sel, axis=0), 1e-12
+                )
+                c_u = jnp.sum(us * sel, axis=0) * inv_det
+                c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                better = c_t < hit_ref[HR_T, :]
+                hit_ref[HR_T, :] = jnp.where(better, c_t, hit_ref[HR_T, :])
+                hit_ref[HR_U, :] = jnp.where(better, c_u, hit_ref[HR_U, :])
+                hit_ref[HR_V, :] = jnp.where(better, c_v, hit_ref[HR_V, :])
+                # winning row's attributes (mt_rows lanes 64..73: n0/n1/n2 +
+                # material id) merged with the same one-hot mask
+                for a in range(10):
+                    col = sc[:, 64 + a][:, None]  # [K, 1], static lane
+                    att = jnp.sum(col * sel, axis=0)
+                    hit_ref[HR_ATTR + a, :] = jnp.where(
+                        better, att, hit_ref[HR_ATTR + a, :]
+                    )
+
+            fat_loop(ob, inv, tmin, tmax, False, process_slot)
+
+            t_raw = hit_ref[HR_T, :]
+            hit = t_raw < BIG
+            t = jnp.where(hit, t_raw, -1.0)
+            u = hit_ref[HR_U, :]
+            v = hit_ref[HR_V, :]
+            w = 1.0 - u - v
+            nx = (
+                w * hit_ref[HR_ATTR + 0, :]
+                + u * hit_ref[HR_ATTR + 3, :]
+                + v * hit_ref[HR_ATTR + 6, :]
+            )
+            ny = (
+                w * hit_ref[HR_ATTR + 1, :]
+                + u * hit_ref[HR_ATTR + 4, :]
+                + v * hit_ref[HR_ATTR + 7, :]
+            )
+            nz = (
+                w * hit_ref[HR_ATTR + 2, :]
+                + u * hit_ref[HR_ATTR + 5, :]
+                + v * hit_ref[HR_ATTR + 8, :]
+            )
+            n2 = nx * nx + ny * ny + nz * nz
+            invn = jax.lax.rsqrt(jnp.maximum(n2, 1e-24))
+            normal = (nx * invn, ny * invn, nz * invn)
+            pos = tuple(o[k] + t * d[k] for k in range(3))
+            mat = fetch_mat(hit_ref[HR_ATTR + 9, :])
+            return hit, t, pos, normal, mat
+
+        def t_any(o, d, tmin, tmax, pre_occ):
+            """Occlusion traversal; pre_occ lanes (inactive rays) are marked
+            occluded up-front so the all-occluded early exit fires without
+            them. Returns bool [tile_r] (False on pre_occ lanes)."""
+            ob = [o[k][None, :] for k in range(3)]
+            db = [d[k][None, :] for k in range(3)]
+            mom = [
+                ob[1] * db[2] - ob[2] * db[1],
+                ob[2] * db[0] - ob[0] * db[2],
+                ob[0] * db[1] - ob[1] * db[0],
+            ]
+            inv = [
+                1.0 / jnp.where(jnp.abs(db[k]) > 1e-12, db[k], 1e-12)
+                for k in range(3)
+            ]
+            hit_ref[HR_OCC, :] = jnp.where(pre_occ, 2.0, 0.0)
+
+            def process_slot(slot):
+                start = pend_ref[2 * slot]  # noqa: F841 (metadata parity)
+                count = pend_ref[2 * slot + 1]
+                sc = mt_scratch.at[slot]
+                valid, _, _, _, _ = _leaf_pair_test(
+                    sc, ob, db, mom, tmin, tmax, False, count, K
+                )
+                occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                hit_ref[HR_OCC, :] = jnp.maximum(hit_ref[HR_OCC, :], occ)
+
+            fat_loop(ob, inv, tmin, tmax, True, process_slot)
+            occ = hit_ref[HR_OCC, :]
+            return jnp.where(occ > 1.5, 0.0, occ) > 0.5
+
+        # ---- shading helpers (fused_sample_pallas parity, mat-table form) --
+        def env_color(d):
+            strength = const_ref[0, C_STRENGTH]
+            if env_kind == 0:
+                return tuple(
+                    jnp.full_like(d[0], 1.0) * const_ref[0, C_ENV0 + k] * strength
+                    for k in range(3)
+                )
+            t = jnp.clip(d[1] * 0.5 + 0.5, 0.0, 1.0)
+            return tuple(
+                (
+                    const_ref[0, C_ENV0 + k] * (1.0 - t)
+                    + const_ref[1, F_ENV1 + k] * t
+                )
+                * strength
+                for k in range(3)
+            )
+
+        eps_row = jnp.full((tile_r,), RAY_EPSILON, jnp.float32)
+        far_row = jnp.full((tile_r,), RAY_FAR, jnp.float32)
+
+        def direct_lighting(pos, normal, pick_draw, active):
+            dl = tuple(
+                const_ref[0, C_DLDIR + k] + 0.0 * pos[0] for k in range(3)
+            )
+            path = tuple(const_ref[0, C_PLPOS + k] - pos[k] for k in range(3))
+            d2 = jnp.maximum(_dot3(path, path), 0.0)
+            dist = jnp.sqrt(d2)
+            lp, _ = _normalize3(path)
+            occ_d = t_any(pos, dl, eps_row, far_row, ~active)
+            occ_p = t_any(
+                pos,
+                lp,
+                eps_row,
+                jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON),
+                ~active,
+            )
+            d_vis = jnp.where(active & ~occ_d, 1.0, 0.0)
+            p_vis = jnp.where(active & ~occ_p, 1.0, 0.0)
+            nol_d = _saturate(_dot3(normal, dl))
+            nol_p = _saturate(_dot3(normal, lp))
+            falloff = 1.0 / (TWO_PI * jnp.maximum(dist * dist, 1e-12))
+            dterm = nol_d * d_vis
+            pterm = nol_p * p_vis * falloff
+            d_c = tuple(const_ref[0, C_DLCI + k] * dterm for k in range(3))
+            p_c = tuple(const_ref[0, C_PLCI + k] * pterm for k in range(3))
+            full = tuple(d_c[k] + p_c[k] for k in range(3))
+            mc = tuple(
+                jnp.where(pick_draw < 0.5, d_c[k] * 2.0, p_c[k] * 2.0)
+                for k in range(3)
+            )
+            is_mc = const_ref[1, F_IS_MC] > 0.5
+            return tuple(jnp.where(is_mc, mc[k], full[k]) for k in range(3))
+
+        def secondary_radiance(o, d, pick_draw, active):
+            """Depth-1 radiance (fused_sample_pallas._secondary_radiance
+            parity; realtime omits the emissive term)."""
+            tmax = jnp.where(active, RAY_FAR, 0.0)
+            s_hit, _t, s_pos, s_normal, s_mat = t_closest(
+                o, d, eps_row, tmax, cull=False
+            )
+            s_hit = s_hit & active
+            env = env_color(d)
+            direct = direct_lighting(s_pos, s_normal, pick_draw, s_hit)
+            out = []
+            for k in range(3):
+                shade = s_mat[MP_ALBEDO + k] * direct[k] / M_PI
+                if not realtime:
+                    shade = s_mat[MP_EMISSIVE + k] * s_mat[MP_ESTR] + shade
+                out.append(
+                    jnp.where(s_hit, shade, jnp.where(active, env[k], 0.0))
+                )
+            return tuple(out)
+
+        # ---- RayGen (fused_sample_pallas._fused_kernel parity) -------------
+        lane = jnp.max(
+            jax.lax.broadcasted_iota(jnp.int32, (1, tile_r), 1), axis=0
+        )
+        if block_w:
+            block_h = tile_r // block_w
+            wb = width // block_w
+            by = i // wb
+            bx = i % wb
+            px = bx * block_w + lane % block_w
+            py = by * block_h + lane // block_w
+            live = jnp.full((tile_r,), True)
+        else:
+            lin = i * tile_r + lane
+            px = lin % width
+            py = lin // width
+            live = lin < (width * height)
+        ndcx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
+        ndcy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
+        du = tuple(cam_ref[s, 3 + k] for k in range(3))
+        dv = tuple(cam_ref[s, 6 + k] for k in range(3))
+        dw = tuple(cam_ref[s, 9 + k] for k in range(3))
+        dun = tuple(ndcx * du[k] + (-ndcy) * dv[k] + dw[k] for k in range(3))
+        norm = jnp.sqrt(_dot3(dun, dun))
+        d = tuple(dun[k] / norm for k in range(3))
+        o = tuple(cam_ref[s, 0 + k] + 0.0 * d[0] for k in range(3))
+
+        seed = seed_ref[0, 0, :]
+        us_draws = []
+        for _ in range(N_DRAWS):
+            seed = seed * jnp.uint32(1664525) + jnp.uint32(1013904223)
+            masked = (seed & jnp.uint32(0x00FFFFFF)).astype(jnp.int32)
+            us_draws.append(masked.astype(jnp.float32) / jnp.float32(0x01000000))
+        u1, u2, u3, u4, u5 = us_draws
+        is_mc = const_ref[1, F_IS_MC] > 0.5
+        no_ind = const_ref[1, F_NO_IND] > 0.5
+        cosine = const_ref[1, F_COSINE]
+
+        # ---- primary closest hit (cull backfaces) --------------------------
+        tmax_prim = jnp.where(live, RAY_FAR, 0.0)
+        hit, _t, pos, normal, mat = t_closest(
+            o, d, jnp.zeros((tile_r,), jnp.float32), tmax_prim, cull=True
+        )
+        env_primary = env_color(d)
+
+        # ---- direct lighting (draw u1 = MC light pick) ----------------------
+        direct = direct_lighting(pos, normal, u1, hit)
+
+        if not realtime:
+            r0_dif = jnp.where(is_mc, u2, u1)
+            r1_dif = jnp.where(is_mc, u3, u2)
+            diff_dir = _hemisphere_dir(normal, r0_dif, r1_dif, cosine)
+
+        if realtime:
+            r0_ph = jnp.where(is_mc, u2, u1)
+            r1_ph = jnp.where(is_mc, u3, u2)
+        else:
+            r0_ph = jnp.where(
+                no_ind, jnp.where(is_mc, u2, u1), jnp.where(is_mc, u4, u3)
+            )
+            r1_ph = jnp.where(
+                no_ind, jnp.where(is_mc, u3, u2), jnp.where(is_mc, u5, u4)
+            )
+        mtype = mat[MP_TYPE]
+        refl = mat[MP_REFL]
+        spec_active = (
+            hit
+            & ((jnp.abs(mtype - 1.0) < 0.5) | (jnp.abs(mtype - 2.0) < 0.5))
+            & (refl > 0.001)
+        )
+        exponent = jnp.exp((1.0 - mat[MP_ROUGH]) * 12.0)
+        don = _dot3(d, normal)
+        mirror_un = tuple(d[k] - 2.0 * don * normal[k] for k in range(3))
+        mirror, _ = _normalize3(mirror_un)
+        tan, bit = _onb(mirror)
+        cos_t = jnp.power(r0_ph, 1.0 / (exponent + 1.0))
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi = TWO_PI * r1_ph
+        powered_cos = jnp.power(cos_t, exponent)
+        pdf = (exponent + 1.0) / TWO_PI * powered_cos
+        brdf = (exponent + 2.0) / TWO_PI * powered_cos
+        xs = sin_t * jnp.cos(phi)
+        zs = sin_t * jnp.sin(phi)
+        phong_dir = tuple(
+            xs * tan[k] + cos_t * mirror[k] + zs * bit[k] for k in range(3)
+        )
+
+        # ---- secondary bounces (tile-level traversal skips) ----------------
+        spec_any = jnp.any(spec_active)
+
+        if not realtime:
+            @pl.when(~no_ind)
+            def _sec_diffuse():
+                s3 = secondary_radiance(pos, diff_dir, u1, hit)
+                for k in range(3):
+                    sec_ref[k, :] = s3[k]
+
+            @pl.when(no_ind)
+            def _sec_diffuse_zero():
+                for k in range(3):
+                    sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+
+        @pl.when(spec_any)
+        def _sec_spec():
+            s3 = secondary_radiance(pos, phong_dir, u1, spec_active)
+            for k in range(3):
+                sec_ref[3 + k, :] = s3[k]
+
+        @pl.when(~spec_any)
+        def _sec_spec_zero():
+            for k in range(3):
+                sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
+
+        spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
+
+        if not realtime:
+            sec = tuple(sec_ref[k, :] for k in range(3))
+            nol = _saturate(_dot3(normal, diff_dir))
+            indirect = tuple(
+                jnp.where(
+                    no_ind,
+                    0.0,
+                    jnp.where(
+                        cosine > 0.5, sec[k] * M_PI, sec[k] * (nol * TWO_PI)
+                    ),
+                )
+                for k in range(3)
+            )
+        ratio = jnp.where(
+            pdf > 1e-30,
+            brdf / jnp.maximum(pdf, 1e-30),
+            (exponent + 2.0) / (exponent + 1.0),
+        )
+        cosi = _saturate(-_dot3(d, normal))
+        pw5 = jnp.power(1.0 - cosi, 5.0)
+
+        if realtime:
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+            for k in range(3):
+                specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
+                f0 = mat[MP_SPECULAR + k]
+                fresnel = jnp.where(spec_active, f0 + (1.0 - f0) * pw5, 0.0)
+                albedo = mat[MP_ALBEDO + k]
+                da = albedo * direct[k] / M_PI
+                sa = refl * specular * fresnel
+                out_ref[k, :] = _sanitize(jnp.where(hit, da, env_primary[k]))
+                out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
+                out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
+                out_ref[10 + k, :] = _sanitize(
+                    jnp.where(hit, da + sa, env_primary[k])
+                )
+            out_ref[9, :] = jnp.where(hit, mat[MP_ROUGH], 0.0)
+            return
+
+        color = []
+        show_direct = const_ref[1, F_SHOW_DIRECT] > 0.5
+        show_albedo = const_ref[1, F_SHOW_ALBEDO] > 0.5
+        show_fresnel = const_ref[1, F_SHOW_FRESNEL] > 0.5
+        show_ispec = const_ref[1, F_SHOW_IND_SPEC] > 0.5
+        show_idiff = const_ref[1, F_SHOW_IND_DIFF] > 0.5
+        for k in range(3):
+            specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
+            f0 = mat[MP_SPECULAR + k]
+            fresnel = jnp.where(spec_active, f0 + (1.0 - f0) * pw5, 0.0)
+            albedo = mat[MP_ALBEDO + k]
+            diffuse_comp = (direct[k] + indirect[k]) / M_PI
+            emissive = mat[MP_EMISSIVE + k] * mat[MP_ESTR]
+            full = emissive + albedo * diffuse_comp + refl * specular * fresnel
+            c = full
+            c = jnp.where(show_direct, albedo * direct[k] / M_PI, c)
+            c = jnp.where(show_albedo, albedo, c)
+            c = jnp.where(show_fresnel, fresnel, c)
+            c = jnp.where(show_ispec, refl * specular * fresnel, c)
+            c = jnp.where(show_idiff, albedo * indirect[k] / M_PI, c)
+            c = jnp.where(hit, c, env_primary[k])
+            color.append(_sanitize(c))
+
+        @pl.when(s == 0)
+        def _init():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        for k in range(3):
+            out_ref[k, :] = out_ref[k, :] + color[k]
+
+    return kernel
+
+
+def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
+    """Static eligibility for the fused-traversal megakernel path."""
+    if mode not in ("progressive", "realtime") or ao_only:
+        return False
+    if "tlas" in scene or "bvh" not in scene:
+        return False
+    b = scene["bvh"]
+    if "bvhf_nodes" not in b or "mt_attr_lanes" not in b:
+        return False
+    from ..scene.lights import light_counts
+
+    if light_counts(scene["lights"]) != (1, 1):
+        return False
+    if int(scene["materials"]["albedo"].shape[0]) > MP_MAX_MATERIALS:
+        return False
+    return int(scene["env"]["kind"]) in (0, 1)
+
+
+def _ft_knobs() -> tuple[int, int]:
+    """FT_TILE / FT_BLOCK_W sweep knobs (read outside jit so changes reach
+    the cache as static-arg changes). Default: 1024-ray tiles in 32x32
+    pixel blocks — the measured round-2 packet-traversal sweet spot."""
+    import os
+
+    tile_r = int(os.environ.get("FT_TILE", "0")) or 1024
+    block_w = int(os.environ.get("FT_BLOCK_W", "0")) or 32
+    return tile_r, block_w
+
+
+def _ft_dispatch(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+    realtime: bool = False,
+    tile_r: int = 1024,
+    block_w: int = 32,
+):
+    """Host side: packs constants/cameras/seeds/materials and launches the
+    fused traversal kernel over (tiles, samples). Returns (out rows, inv)."""
+    from ..scene.scene import BVH_LEAF_SIZE
+
+    bvh = scene["bvh"]
+    s_count = int(cameras["frame_count"].shape[0])
+    n = width * height
+    r_pad = -(-n // tile_r) * tile_r
+
+    # 32x32 pixel blocks (block_w x block_h = tile_r rays) keep packets
+    # screen-coherent — measured round-2 win for packet traversal. Raster
+    # fallback when the image doesn't tile evenly.
+    block_h = tile_r // block_w if block_w else 1
+    if (not block_w or tile_r % block_w or width % block_w
+            or height % block_h):
+        block_w = 0
+        perm = None
+    else:
+        pys, pxs = np.meshgrid(
+            np.arange(height, dtype=np.int64),
+            np.arange(width, dtype=np.int64),
+            indexing="ij",
+        )
+        lin2d = pys * width + pxs
+        perm = (
+            lin2d.reshape(height // block_h, block_h,
+                          width // block_w, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+
+    cam_pack = pack_cameras(cameras, realtime)
+    const_pack = pack_consts(scene, options, env_kind)
+    mat_pack = material_pack(scene["materials"])
+
+    if perm is not None:
+        lin = jnp.asarray(perm.astype(np.uint32))
+    else:
+        lin = jnp.arange(r_pad, dtype=jnp.uint32)
+    seeds = jax.vmap(
+        lambda fc: rng.init_rand(lin, fc.astype(jnp.uint32))
+    )(cameras["frame_count"])[:, None, :]  # [S, 1, r_pad] uint32
+
+    K = BVH_LEAF_SIZE
+    nodes = bvh["bvhf_nodes"]
+    f_cols = int(nodes.shape[1])
+
+    out = pl.pallas_call(
+        _make_ft_kernel(
+            K,
+            width=width,
+            height=height,
+            tile_r=tile_r,
+            env_kind=env_kind,
+            block_w=block_w,
+            realtime=realtime,
+        ),
+        grid=(r_pad // tile_r, s_count),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (16, f_cols), lambda i, s: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (16, MP_MAX_MATERIALS),
+                lambda i, s: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, tile_r), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_rows stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (16 if realtime else 8, tile_r),
+            lambda i, s: (0, i),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (16 if realtime else 8, r_pad), jnp.float32
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.VMEM((2, K, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((16, tile_r), jnp.float32),
+            pltpu.VMEM((8, tile_r), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        cam_pack,
+        const_pack,
+        nodes,
+        mat_pack,
+        seeds,
+        bvh["mt_rows"],
+    )
+
+    inv = None
+    if perm is not None:
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=np.int64)
+    return out[:, :n], inv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+    ),
+)
+def _ft_progressive_sum_impl(
+    scene, options, cameras, width, height, env_kind, interpret,
+    tile_r, block_w,
+):
+    out, inv = _ft_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r=tile_r, block_w=block_w,
+    )
+    return _unperm(out[:3], inv).reshape(height, width, 3)
+
+
+def fused_traverse_progressive_sum(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Sum of S progressive samples via in-kernel BVH traversal. [H, W, 3]."""
+    tile_r, block_w = _ft_knobs()
+    return _ft_progressive_sum_impl(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r, block_w,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+    ),
+)
+def _ft_realtime_outputs_impl(
+    scene, options, camera, width, height, env_kind, interpret,
+    tile_r, block_w,
+):
+    cameras = jax.tree.map(lambda x: x[None], camera)
+    out, inv = _ft_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        realtime=True, tile_r=tile_r, block_w=block_w,
+    )
+
+    def img3(r0):
+        return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
+
+    rough = _unperm(out[9:10], inv).reshape(height, width)
+    return {
+        "direct": img3(0),
+        "indirect_specular": img3(3),
+        "albedo": img3(6),
+        "roughness": rough,
+        "color": img3(10),
+    }
+
+
+def fused_traverse_realtime_outputs(
+    scene: dict,
+    options: dict,
+    camera: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+) -> dict:
+    """One fused realtime sample (RealtimeRaytracing.hlsl tree) with every
+    trace as in-kernel BVH traversal; returns the pipeline's AOV dict."""
+    tile_r, block_w = _ft_knobs()
+    return _ft_realtime_outputs_impl(
+        scene, options, camera, width, height, env_kind, interpret,
+        tile_r, block_w,
+    )

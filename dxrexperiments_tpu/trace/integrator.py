@@ -740,26 +740,59 @@ def make_render_step(
     # Realtime megakernel fast path: the whole RealtimeRaytracing.hlsl tree
     # (primary + 2 shadows + Phong bounce with closest + 2 shadows) as ONE
     # Pallas launch with all five AOVs written from registers.
-    from ..ops import fused_sample_pallas
+    from ..ops import fused_sample_pallas, fused_traverse_pallas
 
     resolved = resolve_impl(impl)
-    use_fused_rt = (
+    rt_eligible = (
         mode == "realtime"
         and not dynamic
         and jitter_scale == 10.0
         and resolved in ("pallas", "pallas_interpret")
-        and fused_sample_pallas.supports_fused(scene, "realtime", ao_only)
     )
-    if use_fused_rt and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+    use_fused_rt = rt_eligible and fused_sample_pallas.supports_fused(
+        scene, "realtime", ao_only
+    )
+    # BVH scenes: fused TRAVERSAL realtime megakernel (round 3)
+    use_ft_rt = (
+        rt_eligible
+        and not use_fused_rt
+        and fused_traverse_pallas.supports_fused_traverse(
+            scene, "realtime", ao_only
+        )
+    )
+    if use_fused_rt or use_ft_rt:
+        rt_fn = (
+            fused_sample_pallas.fused_realtime_outputs
+            if use_fused_rt
+            else fused_traverse_pallas.fused_traverse_realtime_outputs
+        )
+        if _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
+            @jax.jit
+            def step_rt(options: dict, camera: dict, lights: dict,
+                        env: dict) -> dict:
+                full = dict(geo, lights=lights, env=env)
+                return rt_fn(
+                    full, options, camera, width, height, env_kind,
+                    interpret=(resolved == "pallas_interpret"),
+                )
+
+            return step_rt
+
         @jax.jit
-        def step_rt(options: dict, camera: dict, lights: dict, env: dict) -> dict:
-            full = dict(geo, lights=lights, env=env)
-            return fused_sample_pallas.fused_realtime_outputs(
+        def rt_inner(options, camera, lights, env, geo_arg):
+            full = dict(geo_arg, lights=lights, env=env)
+            return rt_fn(
                 full, options, camera, width, height, env_kind,
                 interpret=(resolved == "pallas_interpret"),
             )
 
-        return step_rt
+        def step_rt_arg(options, camera, lights, env, geo_arg=None):
+            return rt_inner(
+                options, camera, lights, env,
+                geo if geo_arg is None else geo_arg,
+            )
+
+        return step_rt_arg
 
     if not dynamic and _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES:
         @jax.jit

@@ -1,0 +1,271 @@
+"""Fused traversal megakernel vs the jnp wavefront oracle (interpret mode).
+
+The fused-traversal kernel (ops/fused_traverse_pallas.py) must reproduce the
+wavefront integrator sample-for-sample on BVH scenes: identical RNG routing,
+identical shading epilogue, hit-for-hit identical intersections (modulo fp
+reassociation on knife-edge pairs and BVH-order tie-breaking).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from dxrexperiments_tpu.core.camera import Camera, camera_params
+from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+from dxrexperiments_tpu.scene import Scene, cornell_box, envmap
+from dxrexperiments_tpu.scene.lights import directional_light, point_light
+from dxrexperiments_tpu.scene.materials import Material
+from dxrexperiments_tpu.scene.procedural import random_triangle_soup
+from dxrexperiments_tpu.trace import default_options, render_sample
+
+W = H = 64
+
+
+def cornell_bvh(env="const"):
+    mesh, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    if env == "const":
+        sc.environment = envmap.constant_env((0.05, 0.1, 0.2), strength=1.5)
+    else:
+        sc.environment = envmap.gradient_env()
+    return sc.build(accel="bvh")
+
+
+def soup_bvh(n=600):
+    mesh = random_triangle_soup(n, seed=11, extent=3.0)
+    sc = Scene()
+    sc.add_material(Material.reference_default())
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.2, -0.8, -0.5), (1.0, 1.0, 0.9, 0.8)),
+        "point": point_light((0.5, 2.0, 0.5), (1.0, 0.9, 0.7, 5.0)),
+    }
+    sc.environment = envmap.gradient_env()
+    return sc.build(accel="bvh")
+
+
+def cam_stack(frames, jitters=None):
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    return [
+        camera_params(
+            cam,
+            jitter=(0.0, 0.0) if jitters is None else jitters[i],
+            frame_count=f,
+        )
+        for i, f in enumerate(frames)
+    ]
+
+
+def fused_one(scene, options, cam, w=W, h=H):
+    cams = jax.tree.map(lambda x: x[None], cam)
+    env_kind = int(scene["env"]["kind"])
+    return ftp.fused_traverse_progressive_sum(
+        scene, options, cams, w, h, env_kind, interpret=True
+    )
+
+
+def oracle_one(scene, options, cam, w=W, h=H):
+    # The brute-force jnp path ignores the BVH entirely — an independent
+    # correctness oracle for the traversal.
+    return render_sample(
+        scene, options, cam, w, h, mode="progressive", impl="jnp",
+        env_kind=int(scene["env"]["kind"]),
+    )["color"]
+
+
+def assert_images_match(got, want, frac=0.005, tol=1e-3):
+    got = np.asarray(got)
+    want = np.asarray(want)
+    assert got.shape == want.shape
+    assert np.isfinite(got).all()
+    diff = np.abs(got - want)
+    bad = (diff > tol).any(axis=-1).mean()
+    assert bad <= frac, f"{bad:.4%} pixels differ by more than {tol}"
+    assert float(np.median(diff)) < 1e-5
+
+
+OPTION_CASES = [
+    {},
+    {"debug": 2},
+    {"no_indirect_diffuse": True},
+    {"cosine_hemisphere_sampling": False},
+    {"show_direct_lighting_only": True},
+    {"show_indirect_diffuse_only": True},
+]
+
+
+@pytest.mark.parametrize("opts", OPTION_CASES)
+def test_ft_matches_oracle_options(opts):
+    scene = cornell_bvh()
+    options = default_options(**opts)
+    cam = cam_stack([7], jitters=[(0.3 / W, -0.2 / H)])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want)
+
+
+def test_ft_gradient_env():
+    # Reference = the wavefront TRAVERSAL path: same BVH visit order, so
+    # knife-edge tie-breaks match (the jnp brute oracle itself differs from
+    # any traversal at ~1% of edge pixels on this scene; measured r3).
+    scene = cornell_bvh(env="gradient")
+    options = default_options()
+    cam = cam_stack([3])[0]
+    got = fused_one(scene, options, cam)
+    want = render_sample(
+        scene, options, cam, W, H, mode="progressive",
+        impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
+    )["color"]
+    assert_images_match(got, want)
+
+
+def test_ft_soup_deep_tree():
+    """A 600-triangle soup exercises real multi-level traversal, partial
+    leaves and incoherent secondary packets."""
+    scene = soup_bvh()
+    options = default_options()
+    cam = cam_stack([5])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want)
+
+
+def test_ft_multi_sample_sum():
+    """S samples in one launch == the sum of S single-sample launches."""
+    scene = cornell_bvh()
+    options = default_options()
+    cams = cam_stack([2, 9, 31], jitters=[(0.001, 0.002), (-0.003, 0.001), (0.002, -0.004)])
+    stacked = jax.tree.map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *cams
+    )
+    env_kind = int(scene["env"]["kind"])
+    got = ftp.fused_traverse_progressive_sum(
+        scene, options, stacked, W, H, env_kind, interpret=True
+    )
+    want = sum(np.asarray(fused_one(scene, options, c)) for c in cams)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_ft_raster_fallback():
+    """Image sizes that don't tile into 32x32 blocks use raster slabs with
+    dead-lane padding; result must still match the oracle."""
+    w, h = 40, 24  # 960 rays < tile 1024 -> one padded tile, raster order
+    mesh, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    sc.environment = envmap.constant_env((0.05, 0.1, 0.2), strength=1.5)
+    scene = sc.build(accel="bvh")
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(w, h)
+    camp = camera_params(cam, jitter=(0.0, 0.0), frame_count=4)
+    options = default_options()
+    got = fused_one(scene, options, camp, w, h)
+    # traversal-ordered reference (knife-edge tie-breaks match; the brute
+    # jnp oracle differs at ~1% of edge pixels at this tiny size)
+    want = render_sample(
+        scene, options, camp, w, h, mode="progressive",
+        impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
+    )["color"]
+    assert_images_match(got, want)
+
+
+def test_ft_realtime_matches_wavefront():
+    scene = cornell_bvh()
+    opts = default_options()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    camp = camera_params(cam, jitter=(0.003, -0.002), frame_count=5)
+    ref = render_sample(
+        scene, opts, camp, W, H, mode="realtime", jitter_scale=10.0,
+        impl="jnp",
+    )
+    got = ftp.fused_traverse_realtime_outputs(
+        scene, opts, camp, W, H, int(scene["env"]["kind"]), interpret=True
+    )
+    for k in ("color", "direct", "indirect_specular", "albedo", "roughness"):
+        g = np.asarray(got[k])
+        r = np.asarray(ref[k])
+        diff = np.abs(g - r)
+        bad = (diff > 1e-3).reshape(diff.shape[0] * diff.shape[1], -1)
+        assert bad.any(axis=-1).mean() <= 0.005, k
+        assert float(np.median(diff)) < 1e-5, k
+
+
+def test_progressive_step_uses_fused_traverse():
+    """make_progressive_step on a BVH scene routes through the fused
+    traversal kernel and accumulates identically to the wavefront step."""
+    from dxrexperiments_tpu.models.progressive import make_progressive_step
+
+    scene = cornell_bvh()
+    options = default_options()
+    cam = cam_stack([0])[0]
+    accum = np.zeros((H, W, 3), np.float32)
+    maxit = np.asarray(64.0, np.float32)
+    step_ft = make_progressive_step(scene, W, H, impl="pallas_interpret")
+    got = np.asarray(
+        step_ft(accum, options, cam, scene["lights"], scene["env"], maxit)
+    )
+    # traversal-ordered wavefront reference (tie-breaks match; the brute
+    # jnp step differs at ~1% of knife-edge pixels)
+    want = np.asarray(
+        render_sample(
+            scene, options, cam, W, H, mode="progressive",
+            impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
+        )["color"]
+    )
+    assert_images_match(got, want)
+
+
+def test_render_step_realtime_bvh_uses_fused_traverse():
+    from dxrexperiments_tpu.trace.integrator import make_render_step
+    from dxrexperiments_tpu.core.camera import camera_params
+
+    scene = cornell_bvh()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    camp = camera_params(cam, frame_count=1)
+    step = make_render_step(
+        scene, W, H, mode="realtime", jitter_scale=10.0,
+        impl="pallas_interpret",
+    )
+    out = step(default_options(), camp, scene["lights"], scene["env"])
+    assert set(out) >= {"color", "direct", "indirect_specular", "albedo",
+                        "roughness"}
+    assert np.isfinite(np.asarray(out["color"])).all()
+
+
+def test_supports_fused_traverse_gate():
+    scene = cornell_bvh()
+    assert ftp.supports_fused_traverse(scene, "progressive", False)
+    assert ftp.supports_fused_traverse(scene, "realtime", False)
+    assert not ftp.supports_fused_traverse(scene, "progressive", True)
+    no_bvh = {k: v for k, v in scene.items() if k != "bvh"}
+    assert not ftp.supports_fused_traverse(no_bvh, "progressive", False)
+    lat = dict(
+        scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32))
+    )
+    assert not ftp.supports_fused_traverse(lat, "progressive", False)
+    # pre-round-3 packs without the attr lanes are rejected
+    stale = dict(
+        scene,
+        bvh={k: v for k, v in scene["bvh"].items() if k != "mt_attr_lanes"},
+    )
+    assert not ftp.supports_fused_traverse(stale, "progressive", False)
