@@ -93,8 +93,16 @@ from .traverse_pallas import MAX_STACK, _leaf_pair_test
 
 RAY_FAR = 3.0e37  # finite "infinity" for slab tests (BIG would overflow *inv)
 
-# hit_ref row layout (per-traversal scratch state)
-HR_T, HR_U, HR_V, HR_ATTR, HR_OCC = 0, 1, 2, 3, 13  # attrs: rows 3..12
+# hit_ref row layout (per-traversal scratch state); rows 13/14 are the two
+# occlusion rows of the paired shadow walk
+HR_T, HR_U, HR_V, HR_ATTR, HR_OCC, HR_OCC2 = 0, 1, 2, 3, 13, 14
+
+# mt_rows row count up to which the triangle pack lives wholly in VMEM
+# (8 MB at 16384 rows) instead of HBM + per-leaf DMA.
+RESIDENT_MAX_ROWS = 16384
+# fat-node column count up to which the node array lives in SMEM (32 KB at
+# 512 cols) so node fetches are scalar reads.
+SMEM_NODES_MAX_COLS = 512
 
 
 def _make_ft_kernel(
@@ -106,19 +114,27 @@ def _make_ft_kernel(
     env_kind: int,
     block_w: int = 0,
     realtime: bool = False,
+    resident: bool = False,
+    smem_nodes: bool = False,
 ):
+    """resident: triangle rows live wholly in VMEM (mid-size scenes) — leaf
+    visits slice them directly, no DMA machinery at all. smem_nodes: fat
+    nodes live in SMEM — node fields are 16 scalar reads instead of a
+    [16,128] vector load + masked reduce (the per-visit vector-unit cost
+    of the HBM kernel's node fetch, measured ~45%% of visit work)."""
+
     def kernel(
         cam_ref,  # SMEM [S, 16]
         const_ref,  # SMEM [2, 16]
-        nodes_ref,  # VMEM [16, F] fat nodes
+        nodes_ref,  # VMEM [16, F] fat nodes (SMEM when smem_nodes)
         mat_ref,  # VMEM [16, 128] material table
         seed_ref,  # VMEM [1, 1, tile_r] uint32
-        mt_hbm,  # ANY [S_pad, 128] triangle rows (+ attr lanes 64..73)
+        mt_hbm,  # ANY [S_pad, 128] triangle rows (VMEM when resident)
         out_ref,  # VMEM [8|16, tile_r]
         stack_ref,  # SMEM [MAX_STACK]
         pend_ref,  # SMEM [4]
-        mt_scratch,  # VMEM [2, K, 128]
-        sem,  # DMA sem (2,)
+        mt_scratch,  # VMEM [2, K, 128] (unused when resident)
+        sem,  # DMA sem (2,) (unused when resident)
         hit_ref,  # VMEM [16, tile_r] per-traversal best-hit state
         sec_ref,  # VMEM [8, tile_r] secondary radiance rows
     ):
@@ -126,31 +142,10 @@ def _make_ft_kernel(
         s = pl.program_id(1)
 
         # ---- shared traversal machinery ----------------------------------
-        def enqueue(ptr, meta, q, process_slot):
-            start = ptr.astype(jnp.int32)
-            count = meta.astype(jnp.int32)
-            slot = q % 2
-            pend_ref[2 * slot] = start
-            pend_ref[2 * slot + 1] = count
-            row_start = pl.multiple_of(start, 8)
-            pltpu.make_async_copy(
-                mt_hbm.at[pl.ds(row_start, K), :],
-                mt_scratch.at[slot],
-                sem.at[slot],
-            ).start()
-
-            @pl.when(q >= 1)
-            def _process_prev():
-                prev = (q - 1) % 2
-                pltpu.make_async_copy(
-                    mt_hbm.at[pl.ds(0, K), :],  # shape-only descriptor
-                    mt_scratch.at[prev],
-                    sem.at[prev],
-                ).wait()
-                process_slot(prev)
-
         def node_fields(node):
-            """Fat-node row extract (lane-aligned load + masked reduce)."""
+            if smem_nodes:
+                return [nodes_ref[k, node] for k in range(16)]
+            # lane-aligned vector load + masked reduce (_node_fields pattern)
             blk = pl.multiple_of((node // 128) * 128, 128)
             lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
             sel = lane == (node - blk)
@@ -158,10 +153,48 @@ def _make_ft_kernel(
             vals = jnp.sum(jnp.where(sel, block, 0.0), axis=1)
             return [vals[k] for k in range(16)]
 
-        def fat_loop(ob, inv, tmin, tmax, occlusion, process_slot):
+        def fat_loop(child_test, done_fn, process):
             """Front-to-back fat-node traversal (traverse_pallas
-            _make_traverse_fat_kernel shape) with best state in hit_ref."""
+            _make_traverse_fat_kernel shape) with best state in hit_ref.
+
+            child_test(lo, hi) -> (any_hit scalar, min_enter scalar);
+            done_fn() -> early-exit scalar (occlusion) or None;
+            process(sc, count) merges one leaf block ([K, 128] rows)."""
             stack_ref[0] = 0
+
+            if resident:
+                def visit_leaf(ptr, meta, q):
+                    start = ptr.astype(jnp.int32)
+                    row_start = pl.multiple_of(start, 8)
+                    block = mt_hbm[pl.ds(row_start, K), :]  # VMEM slice
+                    process(block, meta.astype(jnp.int32))
+                    return q
+            else:
+                def visit_leaf(ptr, meta, q):
+                    # double-buffered DMA: start this leaf's copy, test the
+                    # PREVIOUS leaf while it flies
+                    start = ptr.astype(jnp.int32)
+                    slot = q % 2
+                    pend_ref[2 * slot] = start
+                    pend_ref[2 * slot + 1] = meta.astype(jnp.int32)
+                    row_start = pl.multiple_of(start, 8)
+                    pltpu.make_async_copy(
+                        mt_hbm.at[pl.ds(row_start, K), :],
+                        mt_scratch.at[slot],
+                        sem.at[slot],
+                    ).start()
+
+                    @pl.when(q >= 1)
+                    def _process_prev():
+                        prev = (q - 1) % 2
+                        pltpu.make_async_copy(
+                            mt_hbm.at[pl.ds(0, K), :],  # shape-only
+                            mt_scratch.at[prev],
+                            sem.at[prev],
+                        ).wait()
+                        process(mt_scratch.at[prev], pend_ref[2 * prev + 1])
+
+                    return q + 1
 
             def cond(carry):
                 sp, done, _q = carry
@@ -173,28 +206,14 @@ def _make_ft_kernel(
                 sp = sp - 1
                 f = node_fields(node)
 
-                if occlusion:
-                    tf_base = jnp.where(
-                        hit_ref[HR_OCC, :][None, :] > 0.5, -BIG, tmax[None, :]
-                    )
-                else:
-                    tf_base = jnp.minimum(tmax, hit_ref[HR_T, :])[None, :]
-
                 hits = []
                 enters = []
                 for c in range(2):
                     lo = f[6 * c : 6 * c + 3]
                     hi = f[6 * c + 3 : 6 * c + 6]
-                    t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
-                    t1s = [(hi[k] - ob[k]) * inv[k] for k in range(3)]
-                    tn = tmin[None, :]
-                    tf = tf_base
-                    for k in range(3):
-                        tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
-                        tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
-                    lane_hit = tn <= tf
-                    hits.append(jnp.any(lane_hit))
-                    enters.append(jnp.min(jnp.where(lane_hit, tn, BIG)))
+                    any_hit, min_enter = child_test(lo, hi)
+                    hits.append(any_hit)
+                    enters.append(min_enter)
 
                 ptr0, m0, ptr1, m1 = f[12], f[13], f[14], f[15]
                 leaf0 = hits[0] & (m0 > 0.5)
@@ -206,15 +225,15 @@ def _make_ft_kernel(
 
                 @pl.when(leaf0)
                 def _leaf0():
-                    enqueue(ptr0, m0, q, process_slot)
+                    visit_leaf(ptr0, m0, q)
 
-                q = q + jnp.where(leaf0, 1, 0)
+                q = jnp.where(leaf0, visit_q(q), q)
 
                 @pl.when(leaf1)
                 def _leaf1():
-                    enqueue(ptr1, m1, q, process_slot)
+                    visit_leaf(ptr1, m1, q)
 
-                q = q + jnp.where(leaf1, 1, 0)
+                q = jnp.where(leaf1, visit_q(q), q)
 
                 both = int0 & int1
                 c0_near = enters[0] <= enters[1]
@@ -238,25 +257,29 @@ def _make_ft_kernel(
                     stack_ref[sp] = ptr1.astype(jnp.int32)
 
                 new_sp = sp + jnp.where(both, 2, jnp.where(only0 | only1, 1, 0))
-                if occlusion:
-                    done = (jnp.min(hit_ref[HR_OCC, :]) > 0.5) & (q == q0)
-                else:
-                    done = jnp.bool_(False)
+                done = done_fn()
+                done = (
+                    jnp.bool_(False) if done is None else done & (q == q0)
+                )
                 return new_sp, done, q
+
+            def visit_q(q):
+                return q if resident else q + 1
 
             _, _, q_final = jax.lax.while_loop(
                 cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
             )
 
-            @pl.when(q_final >= 1)
-            def _drain():
-                prev = (q_final - 1) % 2
-                pltpu.make_async_copy(
-                    mt_hbm.at[pl.ds(0, K), :],
-                    mt_scratch.at[prev],
-                    sem.at[prev],
-                ).wait()
-                process_slot(prev)
+            if not resident:
+                @pl.when(q_final >= 1)
+                def _drain():
+                    prev = (q_final - 1) % 2
+                    pltpu.make_async_copy(
+                        mt_hbm.at[pl.ds(0, K), :],
+                        mt_scratch.at[prev],
+                        sem.at[prev],
+                    ).wait()
+                    process(mt_scratch.at[prev], pend_ref[2 * prev + 1])
 
         def fetch_mat(matid):
             """Material row fetch: one-hot [16,128] @ [128,R] MXU matmul."""
@@ -294,10 +317,7 @@ def _make_ft_kernel(
             for r in range(HR_U, HR_ATTR + 10):
                 hit_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
 
-            def process_slot(slot):
-                start = pend_ref[2 * slot]
-                count = pend_ref[2 * slot + 1]
-                sc = mt_scratch.at[slot]
+            def process(sc, count):
                 valid, ts, det_abs, us, vs = _leaf_pair_test(
                     sc, ob, db, mom, tmin, tmax, cull, count, K
                 )
@@ -328,7 +348,21 @@ def _make_ft_kernel(
                         better, att, hit_ref[HR_ATTR + a, :]
                     )
 
-            fat_loop(ob, inv, tmin, tmax, False, process_slot)
+            def child_test(lo, hi):
+                t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
+                t1s = [(hi[k] - ob[k]) * inv[k] for k in range(3)]
+                tn = tmin[None, :]
+                tf = jnp.minimum(tmax, hit_ref[HR_T, :])[None, :]
+                for k in range(3):
+                    tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                    tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+                lane_hit = tn <= tf
+                return (
+                    jnp.any(lane_hit),
+                    jnp.min(jnp.where(lane_hit, tn, BIG)),
+                )
+
+            fat_loop(child_test, lambda: None, process)
 
             t_raw = hit_ref[HR_T, :]
             hit = t_raw < BIG
@@ -358,36 +392,76 @@ def _make_ft_kernel(
             mat = fetch_mat(hit_ref[HR_ATTR + 9, :])
             return hit, t, pos, normal, mat
 
-        def t_any(o, d, tmin, tmax, pre_occ):
-            """Occlusion traversal; pre_occ lanes (inactive rays) are marked
-            occluded up-front so the all-occluded early exit fires without
-            them. Returns bool [tile_r] (False on pre_occ lanes)."""
+        def t_any_pair(o, d_a, d_b, tmin, tmax_a, tmax_b, pre_occ):
+            """PAIRED occlusion traversal: two shadow rays per lane (same
+            origin, different directions — the 1-dir + 1-point light rig)
+            share ONE node walk and ONE leaf-DMA stream, each leaf tested
+            against both direction sets. Halves scalar loop trips and DMA
+            traffic vs two separate walks (the unions overlap heavily for
+            rays leaving the same surface point).
+
+            pre_occ lanes are marked occluded in both rows so the
+            all-occluded early exit fires without them. Returns
+            (occ_a, occ_b) bools [tile_r] (False on pre_occ lanes)."""
             ob = [o[k][None, :] for k in range(3)]
-            db = [d[k][None, :] for k in range(3)]
-            mom = [
-                ob[1] * db[2] - ob[2] * db[1],
-                ob[2] * db[0] - ob[0] * db[2],
-                ob[0] * db[1] - ob[1] * db[0],
-            ]
-            inv = [
-                1.0 / jnp.where(jnp.abs(db[k]) > 1e-12, db[k], 1e-12)
-                for k in range(3)
-            ]
-            hit_ref[HR_OCC, :] = jnp.where(pre_occ, 2.0, 0.0)
+            dir_sets = []
+            for d in (d_a, d_b):
+                db = [d[k][None, :] for k in range(3)]
+                mom = [
+                    ob[1] * db[2] - ob[2] * db[1],
+                    ob[2] * db[0] - ob[0] * db[2],
+                    ob[0] * db[1] - ob[1] * db[0],
+                ]
+                inv = [
+                    1.0 / jnp.where(jnp.abs(db[k]) > 1e-12, db[k], 1e-12)
+                    for k in range(3)
+                ]
+                dir_sets.append((db, mom, inv))
+            tmaxes = (tmax_a, tmax_b)
+            occ_rows = (HR_OCC, HR_OCC2)
+            pre = jnp.where(pre_occ, 2.0, 0.0)
+            hit_ref[HR_OCC, :] = pre
+            hit_ref[HR_OCC2, :] = pre
 
-            def process_slot(slot):
-                start = pend_ref[2 * slot]  # noqa: F841 (metadata parity)
-                count = pend_ref[2 * slot + 1]
-                sc = mt_scratch.at[slot]
-                valid, _, _, _, _ = _leaf_pair_test(
-                    sc, ob, db, mom, tmin, tmax, False, count, K
-                )
-                occ = jnp.max(valid.astype(jnp.float32), axis=0)
-                hit_ref[HR_OCC, :] = jnp.maximum(hit_ref[HR_OCC, :], occ)
+            def process(sc, count):
+                for (db, mom, _), tmax, row in zip(dir_sets, tmaxes, occ_rows):
+                    valid, _, _, _, _ = _leaf_pair_test(
+                        sc, ob, db, mom, tmin, tmax, False, count, K
+                    )
+                    occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                    hit_ref[row, :] = jnp.maximum(hit_ref[row, :], occ)
 
-            fat_loop(ob, inv, tmin, tmax, True, process_slot)
-            occ = hit_ref[HR_OCC, :]
-            return jnp.where(occ > 1.5, 0.0, occ) > 0.5
+            def child_test(lo, hi):
+                any_hit = jnp.bool_(False)
+                min_enter = jnp.float32(BIG)
+                for (_, _, inv), tmax, row in zip(dir_sets, tmaxes, occ_rows):
+                    t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
+                    t1s = [(hi[k] - ob[k]) * inv[k] for k in range(3)]
+                    tn = tmin[None, :]
+                    tf = jnp.where(
+                        hit_ref[row, :][None, :] > 0.5, -BIG, tmax[None, :]
+                    )
+                    for k in range(3):
+                        tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
+                        tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
+                    lane_hit = tn <= tf
+                    any_hit = any_hit | jnp.any(lane_hit)
+                    min_enter = jnp.minimum(
+                        min_enter, jnp.min(jnp.where(lane_hit, tn, BIG))
+                    )
+                return any_hit, min_enter
+
+            def done_fn():
+                both = jnp.minimum(hit_ref[HR_OCC, :], hit_ref[HR_OCC2, :])
+                return jnp.min(both) > 0.5
+
+            fat_loop(child_test, done_fn, process)
+            occ_a = hit_ref[HR_OCC, :]
+            occ_b = hit_ref[HR_OCC2, :]
+            return (
+                jnp.where(occ_a > 1.5, 0.0, occ_a) > 0.5,
+                jnp.where(occ_b > 1.5, 0.0, occ_b) > 0.5,
+            )
 
         # ---- shading helpers (fused_sample_pallas parity, mat-table form) --
         def env_color(d):
@@ -418,11 +492,8 @@ def _make_ft_kernel(
             d2 = jnp.maximum(_dot3(path, path), 0.0)
             dist = jnp.sqrt(d2)
             lp, _ = _normalize3(path)
-            occ_d = t_any(pos, dl, eps_row, far_row, ~active)
-            occ_p = t_any(
-                pos,
-                lp,
-                eps_row,
+            occ_d, occ_p = t_any_pair(
+                pos, dl, lp, eps_row, far_row,
                 jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON),
                 ~active,
             )
@@ -737,6 +808,24 @@ def _ft_dispatch(
     K = BVH_LEAF_SIZE
     nodes = bvh["bvhf_nodes"]
     f_cols = int(nodes.shape[1])
+    mt_rows_n = int(bvh["mt_rows"].shape[0])
+    # Mid-size scenes: triangle rows resident in VMEM (no DMA machinery) and
+    # fat nodes in SMEM (node fetch = 16 scalar reads). Both flags derive
+    # from static shapes, so the jit cache keys them automatically.
+    resident = mt_rows_n <= RESIDENT_MAX_ROWS
+    smem_nodes = f_cols <= SMEM_NODES_MAX_COLS
+
+    if resident:
+        mt_spec = pl.BlockSpec(
+            (mt_rows_n, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        mt_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+    nodes_spec = pl.BlockSpec(
+        (16, f_cols),
+        lambda i, s: (0, 0),
+        memory_space=pltpu.SMEM if smem_nodes else pltpu.VMEM,
+    )
 
     out = pl.pallas_call(
         _make_ft_kernel(
@@ -747,14 +836,14 @@ def _ft_dispatch(
             env_kind=env_kind,
             block_w=block_w,
             realtime=realtime,
+            resident=resident,
+            smem_nodes=smem_nodes,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (16, f_cols), lambda i, s: (0, 0), memory_space=pltpu.VMEM
-            ),
+            nodes_spec,
             pl.BlockSpec(
                 (16, MP_MAX_MATERIALS),
                 lambda i, s: (0, 0),
@@ -763,7 +852,7 @@ def _ft_dispatch(
             pl.BlockSpec(
                 (1, 1, tile_r), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_rows stays in HBM
+            mt_spec,
         ],
         out_specs=pl.BlockSpec(
             (16 if realtime else 8, tile_r),
