@@ -1,0 +1,199 @@
+"""On-TPU kernel parity gate (VERDICT r2 weak #5).
+
+Runs every Pallas kernel family COMPILED (Mosaic, not interpret) on the real
+chip and compares against the jnp oracle evaluated on the same inputs,
+recording max|diff| per family into KERNEL_PARITY_r{N}.json. CI runs the
+same comparisons in interpret mode on CPU; this script is the once-per-round
+evidence that compiled Mosaic agrees too.
+
+Knife-edge pairs may resolve differently between brute-force and traversal
+visit order (measured ~1% of edge pixels), so hit-dependent comparisons
+report BOTH the max diff over agreeing lanes and the disagreement fraction;
+the gate bounds each.
+
+Usage: python benchmarks/kernel_parity.py [round_tag]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+TOL = 1e-4  # lane agreement threshold (fp reassociation class)
+FRAC = 0.01  # max fraction of tie-break lanes
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import (
+        bilateral_pallas,
+        fused_sample_pallas as fsp,
+        fused_traverse_pallas as ftp,
+        intersect,
+        intersect_pallas,
+        traverse_pallas,
+        traverse2_pallas,
+    )
+    from dxrexperiments_tpu.accel import tlas as tlas_mod
+    from dxrexperiments_tpu.models.denoise import _bilateral_pass
+    from dxrexperiments_tpu.scene.scene import BVH_LEAF_SIZE
+    from dxrexperiments_tpu.trace.integrator import (
+        default_options,
+        render_sample,
+    )
+
+    tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
+    results: dict[str, dict] = {}
+    t_start = time.time()
+
+    for _ in range(3):  # tunnel warm-up
+        float(jnp.sum(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048))))
+
+    rng = np.random.default_rng(7)
+
+    def ray_batch(n, lo=-3.0, hi=3.0):
+        o = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def closest_compare(name, got, want):
+        """got/want: dicts with hit/t arrays (any backend)."""
+        gh = np.asarray(got["hit"])
+        wh = np.asarray(want["hit"])
+        agree = gh == wh
+        gt = np.asarray(got["t"])
+        wt = np.asarray(want["t"])
+        both = agree & gh
+        max_t = float(np.abs(gt[both] - wt[both]).max()) if both.any() else 0.0
+        frac = float((~agree).mean())
+        results[name] = {
+            "max_t_diff_agreeing": max_t,
+            "hit_disagree_frac": frac,
+            "n": int(gh.size),
+            "pass": bool(max_t <= TOL and frac <= FRAC),
+        }
+        print(f"{name}: max_t {max_t:.2e} disagree {frac:.4%}", flush=True)
+
+    def image_compare(name, got, want, tol=1e-3, frac=FRAC):
+        g = np.asarray(got)
+        w = np.asarray(want)
+        diff = np.abs(g - w)
+        bad = float((diff > tol).any(axis=-1).mean()) if diff.ndim == 3 else float((diff > tol).mean())
+        med = float(np.median(diff))
+        results[name] = {
+            "bad_pixel_frac": bad,
+            "median_diff": med,
+            "max_diff": float(diff.max()),
+            "pass": bool(bad <= frac and med <= 1e-5),
+        }
+        print(f"{name}: bad {bad:.4%} median {med:.2e}", flush=True)
+
+    # ---- 1. brute-force intersect --------------------------------------
+    sc, cam = build_scene("cornell-glossy")
+    scene_small = sc.build()
+    o, d = ray_batch(8192)
+    got = intersect_pallas.trace_closest(scene_small, o, d)
+    want = intersect.intersect_closest(scene_small, o, d)
+    closest_compare("intersect_closest", got, want)
+    ga = np.asarray(intersect_pallas.trace_any(scene_small, o, d, 1e-4, 10.0))
+    wa = np.asarray(intersect.intersect_any(scene_small, o, d, 1e-4, 10.0))
+    results["intersect_any"] = {
+        "disagree_frac": float((ga != wa).mean()),
+        "pass": bool((ga != wa).mean() <= FRAC),
+    }
+    print(f"intersect_any: disagree {(ga != wa).mean():.4%}", flush=True)
+
+    # ---- 2. single-level BVH traversal ---------------------------------
+    sc, _cam = build_scene("soup:3000")
+    scene_bvh = sc.build(accel="bvh")
+    o, d = ray_batch(8192, -8.0, 8.0)
+    got = traverse_pallas.traverse_fat_closest(
+        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+    )
+    want = intersect.intersect_closest(scene_bvh, o, d)
+    closest_compare("traverse_fat_closest", got, want)
+    ga = np.asarray(
+        traverse_pallas.traverse_fat_any(
+            scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+        )
+    )
+    wa = np.asarray(intersect.intersect_any(scene_bvh, o, d, 1e-4, 3.0e37))
+    results["traverse_fat_any"] = {
+        "disagree_frac": float((ga != wa).mean()),
+        "pass": bool((ga != wa).mean() <= FRAC),
+    }
+    print(f"traverse_fat_any: disagree {(ga != wa).mean():.4%}", flush=True)
+
+    # ---- 3. two-level TLAS/BLAS traversal ------------------------------
+    sc, _cam = build_scene("instanced:2")
+    scene2 = sc.build_two_level()
+    o, d = ray_batch(8192, -6.0, 6.0)
+    got = traverse2_pallas.traverse2_fat_closest(
+        scene2["tlas"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+    )
+    want = tlas_mod.two_level_closest_jnp(scene2, o, d, 1e-4, 3.0e37, False)
+    closest_compare("traverse2_fat_closest", got, want)
+
+    # ---- 4. fused brute megakernel (whole sample) ----------------------
+    w = h = 128
+    cam.set_aspect(w, h)
+    camp = camera_params(cam, jitter=(0.002, -0.001), frame_count=9)
+    cams = jax.tree.map(lambda x: x[None], camp)
+    opts = default_options()
+    got = fsp.fused_progressive_sum(
+        scene_small, opts, cams, w, h, int(scene_small["env"]["kind"])
+    )
+    want = render_sample(
+        scene_small, opts, camp, w, h, mode="progressive", impl="jnp",
+        env_kind=int(scene_small["env"]["kind"]),
+    )["color"]
+    image_compare("fused_sample", got, want)
+
+    # ---- 5. fused traversal megakernel (whole sample) ------------------
+    sc3, cam3 = build_scene("cornell-glossy")
+    cam3.set_aspect(w, h)
+    scene_cb = sc3.build(accel="bvh")
+    camp3 = camera_params(cam3, jitter=(0.002, -0.001), frame_count=9)
+    cams3 = jax.tree.map(lambda x: x[None], camp3)
+    got = ftp.fused_traverse_progressive_sum(
+        scene_cb, opts, cams3, w, h, int(scene_cb["env"]["kind"])
+    )
+    want = render_sample(
+        scene_cb, opts, camp3, w, h, mode="progressive", impl="jnp",
+        env_kind=int(scene_cb["env"]["kind"]),
+    )["color"]
+    image_compare("fused_traverse", got, want, frac=0.02)
+
+    # ---- 6. bilateral denoise pass -------------------------------------
+    img = jnp.asarray(rng.uniform(0, 4, (128, 128, 3)).astype(np.float32))
+    joint = jnp.asarray(rng.uniform(0, 1, (128, 128, 3)).astype(np.float32))
+    radius = jnp.asarray(12.0, jnp.float32)
+    for axis in (0, 1):
+        got = bilateral_pallas.bilateral_pass(img, joint, radius, axis=axis)
+        want = _bilateral_pass(img, joint, radius, axis=axis)
+        image_compare(f"bilateral_axis{axis}", got, want, tol=1e-5, frac=0.0)
+
+    out = {
+        "round": tag,
+        "backend": jax.default_backend(),
+        "wall_s": round(time.time() - t_start, 1),
+        "all_pass": all(v.get("pass", False) for v in results.values()),
+        "families": results,
+    }
+    path = f"/root/repo/KERNEL_PARITY_{tag}.json"
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path} all_pass={out['all_pass']}")
+
+
+if __name__ == "__main__":
+    main()

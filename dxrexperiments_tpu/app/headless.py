@@ -134,6 +134,128 @@ def parse_env(spec: str) -> dict:
     raise ValueError(f"unknown env spec {spec!r}")
 
 
+def _main_sharded(args, scene, camera, width, height) -> int:
+    """--shard path: multi-chip rendering over a (tile, spp) device mesh.
+
+    The multi-chip productization of parallel/render.py: progressive shards
+    image rows over "tile" and the per-step sample batch over "spp"; realtime
+    shards rows through the fused megakernel AND the halo-exchange denoiser.
+    Exercisable on one chip (1x1) or on the virtual CPU mesh
+    (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.camera import camera_params
+    from ..models.denoise import default_denoise_params
+    from ..trace.integrator import default_options
+    from ..parallel import (
+        make_render_mesh,
+        make_sharded_progressive_step,
+        make_sharded_realtime_step,
+        stack_cameras,
+    )
+
+    n_dev = len(jax.devices())
+    if args.shard == "auto":
+        n_tile, n_spp = n_dev, 1
+    else:
+        try:
+            n_tile, n_spp = (int(x) for x in args.shard.lower().split("x"))
+        except ValueError:
+            print(f"invalid --shard {args.shard!r} (want TILExSPP or auto)")
+            return 2
+    if n_tile * n_spp > n_dev:
+        print(f"--shard {n_tile}x{n_spp} needs {n_tile * n_spp} devices, "
+              f"have {n_dev}")
+        return 2
+    mesh = make_render_mesh(
+        n_tile=n_tile, n_spp=n_spp,
+        devices=jax.devices()[: n_tile * n_spp],
+    )
+    rng = np.random.default_rng(args.seed)
+
+    if args.pipeline == "progressive":
+        scene_data = (
+            scene.build_two_level() if args.accel == "two-level"
+            else scene.build()
+        )
+        step = make_sharded_progressive_step(
+            scene_data, width, height, mesh, samples_per_step=n_spp,
+            ao_only=args.ao_only,
+        )
+        accum = jax.device_put(
+            jnp.zeros((height, width, 3), jnp.float32),
+            NamedSharding(mesh, P("tile", None, None)),
+        )
+        maxit = jnp.asarray(max(args.spp, 1), jnp.int32)
+        steps = -(-args.spp // n_spp)
+        t0 = time.perf_counter()
+        for frame in range(steps):
+            cams = [
+                camera_params(
+                    camera,
+                    jitter=((rng.random() - 0.5) / width,
+                            (rng.random() - 0.5) / height),
+                    frame_count=frame * n_spp + k,
+                    accum_count=frame * n_spp,
+                )
+                for k in range(n_spp)
+            ]
+            accum = step(
+                accum, default_options(), stack_cameras(cams),
+                scene_data["lights"], scene_data["env"], maxit,
+            )
+        out = accum
+        out.block_until_ready()
+        dt = time.perf_counter() - t0
+        img = np.asarray(out)
+        if args.tonemap:
+            img = np.asarray(
+                linear_to_srgb(reinhard_tonemap(jnp.asarray(img)),
+                               jnp.asarray(2.2))
+            )
+        spp = steps * n_spp
+        print(
+            f"progressive sharded {n_tile}x{n_spp}: {spp} spp at "
+            f"{width}x{height} in {dt:.2f}s ({spp / dt:.2f} spp/s, "
+            f"~{width*height*spp/dt/1e6:.1f} Mprimary-rays/s)"
+        )
+    else:
+        scene_data = scene.build()
+        step = make_sharded_realtime_step(
+            scene_data, width, height, mesh, denoise=True,
+        )
+        dparams = default_denoise_params()
+        t0 = time.perf_counter()
+        cam = camera_params(
+            camera,
+            jitter=((rng.random() - 0.5) / width,
+                    (rng.random() - 0.5) / height),
+            frame_count=0,
+        )
+        outs = step(
+            default_options(), cam, scene_data["lights"],
+            scene_data["env"], dparams,
+        )
+        final = outs["display"] if args.denoise else (
+            outs["direct"] + outs["indirect_specular"]
+        )
+        final.block_until_ready()
+        dt = time.perf_counter() - t0
+        img = np.clip(np.asarray(final), 0.0, 1.0)
+        print(
+            f"realtime sharded {n_tile}x{n_spp}"
+            f"{'+denoise' if args.denoise else ''}: {width}x{height} "
+            f"in {dt:.2f}s"
+        )
+
+    img = np.clip(img, 0.0, 1.0)
+    write_png(args.output, img)
+    print(f"wrote {args.output} (mean {img.mean():.4f}, max {img.max():.4f})")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--scene", default="cornell", help="cornell | cornell-glossy | mesh file path")
@@ -185,6 +307,17 @@ def main(argv=None) -> int:
         help="force a jax platform (cpu|tpu|axon); this machine's axon plugin "
         "otherwise auto-registers and routes arrays over the TPU tunnel",
     )
+    ap.add_argument(
+        "--shard",
+        default=None,
+        metavar="TILExSPP",
+        help="multi-chip rendering over a (tile, spp) device mesh, e.g. "
+        "'4x2' = image rows over 4 devices x samples over 2; 'auto' puts "
+        "every device on the tile axis. Progressive shards rows+samples "
+        "(one psum-mean per step); realtime shards rows incl. the halo-"
+        "exchange denoiser. Single-device meshes work (a 1x1 'mesh' is the "
+        "single-chip path through the sharded code).",
+    )
     ap.add_argument("-o", "--output", default="out.png")
     args = ap.parse_args(argv)
 
@@ -202,6 +335,9 @@ def main(argv=None) -> int:
         scene.environment = parse_env(args.env)
     camera.set_aspect(width, height)
     stats = FrameStats(width, height)
+
+    if args.shard:
+        return _main_sharded(args, scene, camera, width, height)
 
     if args.pipeline == "progressive":
         pipe = ProgressiveRaytracingPipeline(width, height, seed=args.seed)

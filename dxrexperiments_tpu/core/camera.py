@@ -152,7 +152,14 @@ def camera_params(
     }
 
 
-def primary_ray_grid(params: dict, width: int, height: int, jitter_scale: float = 30.0):
+def primary_ray_grid(
+    params: dict,
+    width: int,
+    height: int,
+    jitter_scale: float = 30.0,
+    row0=None,
+    full_height: int = 0,
+):
     """Generate the [H, W] grid of primary rays from CameraParams.
 
     Parity with the RayGen shaders
@@ -161,10 +168,16 @@ def primary_ray_grid(params: dict, width: int, height: int, jitter_scale: float 
     ``normalize(d.x*U - d.y*V + W)``, origin = eye + jitter*scale in XY.
     jitter_scale is 30 for the progressive pipeline, 10 for realtime.
 
+    row0/full_height: generate rays for rows [row0, row0+height) of a
+    full_height-tall image (multi-chip row sharding, parallel/render.py).
+
     Returns (origins [H,W,3], directions [H,W,3]).
     """
     xs = (jnp.arange(width, dtype=jnp.float32) + 0.5) / width * 2.0 - 1.0
-    ys = (jnp.arange(height, dtype=jnp.float32) + 0.5) / height * 2.0 - 1.0
+    ys_pix = jnp.arange(height, dtype=jnp.float32)
+    if row0 is not None:
+        ys_pix = ys_pix + jnp.asarray(row0, jnp.float32)
+    ys = (ys_pix + 0.5) / (full_height or height) * 2.0 - 1.0
     dx, dy = jnp.meshgrid(xs, ys, indexing="xy")  # [H, W] each (rows = y)
     u, v, w = params["u"], params["v"], params["w"]
     d = dx[..., None] * u + (-dy)[..., None] * v + w

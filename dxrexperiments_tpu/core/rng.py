@@ -58,17 +58,22 @@ def next_rand2(seed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray
     return seed, r0, r1
 
 
-def pixel_seeds(width: int, height: int, frame_count) -> jnp.ndarray:
+def pixel_seeds(width: int, height: int, frame_count, row0=None) -> jnp.ndarray:
     """Per-pixel seeds for a [H, W] launch.
 
     Parity with the shade() seeding
     (/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:87-89):
     ``initRand(px + py * width, frameCount)``.
+
+    row0: seeds for rows [row0, row0+height) of a taller image — pixel ids
+    stay GLOBAL so row-sharded renders match the single-chip image.
     """
     py, px = jnp.meshgrid(
         jnp.arange(height, dtype=jnp.uint32),
         jnp.arange(width, dtype=jnp.uint32),
         indexing="ij",
     )
+    if row0 is not None:
+        py = py + jnp.asarray(row0, jnp.int32).astype(_U32)
     linear = px + py * _U32(width)
     return init_rand(linear, jnp.asarray(frame_count).astype(_U32))

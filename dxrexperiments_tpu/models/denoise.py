@@ -156,8 +156,19 @@ def denoise_composite(
     pass1 = run_pass(pass0, axis=0)
     pass1 = jnp.where(dbg == 2, pass0, pass1)
 
-    # Composite (DenoiseCommon.hlsli:56-65):
-    #   0: filtered + direct; 1: filtered only; 2: raw input; 3: direct only.
+    return composite_tail(direct_lighting, pass1, params)
+
+
+def composite_tail(
+    direct_lighting: jnp.ndarray, pass1: jnp.ndarray, params: dict
+) -> jnp.ndarray:
+    """Composite + exposure + tonemap + gamma (DenoiseCommon.hlsli:56-65)
+    after the two bilateral passes. Shared with the row-sharded denoiser
+    (parallel/render.py), whose vertical pass needs a halo exchange first.
+
+    debug modes: 0 filtered + direct; 1 filtered only; 2 raw input;
+    3 direct only."""
+    dbg = params["debug_visualize"]
     color = jnp.where(
         dbg == 0,
         pass1 + direct_lighting,

@@ -451,6 +451,7 @@ def _fused_kernel(
     env_kind: int,
     block_w: int = 0,
     realtime: bool = False,
+    full_height: int = 0,
 ):
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -475,7 +476,11 @@ def _fused_kernel(
         px = lin % width
         py = lin // width
     ndcx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
-    ndcy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
+    # Row-sharded launches (multi-chip "tile" axis) render a row block of a
+    # taller image: cam lane 12 carries the global row offset, full_height
+    # the global height, so NDC matches the single-chip render exactly.
+    pyf = py.astype(jnp.float32) + cam_ref[s, 12]
+    ndcy = (pyf + 0.5) / jnp.float32(full_height or height) * 2.0 - 1.0
     du = tuple(cam_ref[s, 3 + k] for k in range(3))
     dv = tuple(cam_ref[s, 6 + k] for k in range(3))
     dw = tuple(cam_ref[s, 9 + k] for k in range(3))
@@ -680,23 +685,30 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     return int(scene["env"]["kind"]) in (0, 1)
 
 
-def pack_cameras(cameras: dict, realtime: bool) -> jnp.ndarray:
+def pack_cameras(cameras: dict, realtime: bool, py0=None) -> jnp.ndarray:
     """Camera pack [S, 16]: origin(0:3) u(3:6) v(6:9) w(9:12); jitter folded
-    into the origin at the mode's scale (ProgressiveRaytracing.hlsl:28-30)."""
+    into the origin at the mode's scale (ProgressiveRaytracing.hlsl:28-30).
+    Lane 12 carries the global row offset for row-sharded launches (exact in
+    f32 for any realistic image height)."""
     s_count = int(cameras["frame_count"].shape[0])
     jit = cameras["jitter"] * (10.0 if realtime else 30.0)
     origin = cameras["eye"] + jnp.concatenate(
         [jit, jnp.zeros((s_count, 1), jnp.float32)], axis=1
     )
+    if py0 is None:
+        tail = jnp.zeros((s_count, 4), jnp.float32)
+    else:
+        tail = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    jnp.asarray(py0, jnp.float32).reshape(1, 1), (s_count, 1)
+                ),
+                jnp.zeros((s_count, 3), jnp.float32),
+            ],
+            axis=1,
+        )
     return jnp.concatenate(
-        [
-            origin,
-            cameras["u"],
-            cameras["v"],
-            cameras["w"],
-            jnp.zeros((s_count, 4), jnp.float32),
-        ],
-        axis=1,
+        [origin, cameras["u"], cameras["v"], cameras["w"], tail], axis=1
     )
 
 
@@ -778,6 +790,8 @@ def _fused_dispatch(
     realtime: bool = False,
     tile_r: int = 0,
     block_w: int = 0,
+    py0=None,
+    full_height: int = 0,
 ):
     """Shared host side of the megakernel: packs constants/cameras/seeds and
     launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
@@ -788,6 +802,11 @@ def _fused_dispatch(
     already drawn per sample; origin offset applied here at jitter_scale=30,
     ProgressiveRaytracing.hlsl:28-30 / integrator.primary_ray_grid).
     Returns [H, W, 3] float32 (divide by S for the mean).
+
+    py0/full_height: row-sharded launches (multi-chip "tile" axis) render
+    rows [py0, py0+height) of a full_height-tall image — NDC and the TEA
+    pixel seeds use GLOBAL coordinates so shards reproduce the single-chip
+    image bit-for-bit.
     """
     s_count = int(cameras["frame_count"].shape[0])
     n = width * height
@@ -824,7 +843,7 @@ def _fused_dispatch(
             .reshape(-1)
         )  # blocked position j -> raster pixel id
 
-    cam_pack = pack_cameras(cameras, realtime)
+    cam_pack = pack_cameras(cameras, realtime, py0=py0)
     const_pack = pack_consts(scene, options, env_kind)
 
     # --- TEA pixel seeds per sample (outside; LCG draws run in-kernel) ------
@@ -832,6 +851,8 @@ def _fused_dispatch(
         lin = jnp.asarray(perm.astype(np.uint32))
     else:
         lin = jnp.arange(r_pad, dtype=jnp.uint32)
+    if py0 is not None:
+        lin = lin + jnp.asarray(py0, jnp.int32).astype(jnp.uint32) * jnp.uint32(width)
     seeds = jax.vmap(
         lambda fc: rng.init_rand(lin, fc.astype(jnp.uint32))
     )(cameras["frame_count"])[:, None, :]  # [S, 1, r_pad] uint32
@@ -845,6 +866,7 @@ def _fused_dispatch(
             env_kind=env_kind,
             block_w=block_w,
             realtime=realtime,
+            full_height=full_height,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -893,15 +915,16 @@ def _unperm(rows: jnp.ndarray, inv) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height",
     ),
 )
 def _fused_progressive_sum_impl(
     scene, options, cameras, width, height, env_kind, interpret,
-    tile_r, block_w,
+    tile_r, block_w, py0=None, full_height=0,
 ):
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r=tile_r, block_w=block_w,
+        tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
     )
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
@@ -914,12 +937,17 @@ def fused_progressive_sum(
     height: int,
     env_kind: int,
     interpret: bool = False,
+    py0=None,
+    full_height: int = 0,
 ) -> jnp.ndarray:
-    """Sum of S progressive samples, one kernel launch. [H, W, 3]."""
+    """Sum of S progressive samples, one kernel launch. [H, W, 3].
+
+    py0/full_height: render rows [py0, py0+height) of a full_height-tall
+    image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r, block_w,
+        tile_r, block_w, py0, full_height,
     )
 
 
@@ -927,16 +955,18 @@ def fused_progressive_sum(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height",
     ),
 )
 def _fused_realtime_outputs_impl(
     scene, options, camera, width, height, env_kind, interpret,
-    tile_r, block_w,
+    tile_r, block_w, py0=None, full_height=0,
 ):
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
+        py0=py0, full_height=full_height,
     )
     def img3(r0):
         return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
@@ -959,6 +989,8 @@ def fused_realtime_outputs(
     height: int,
     env_kind: int,
     interpret: bool = False,
+    py0=None,
+    full_height: int = 0,
 ) -> dict:
     """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
     2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
@@ -966,5 +998,5 @@ def fused_realtime_outputs(
     tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_realtime_outputs_impl(
         scene, options, camera, width, height, env_kind, interpret,
-        tile_r, block_w,
+        tile_r, block_w, py0, full_height,
     )

@@ -116,6 +116,7 @@ def _make_ft_kernel(
     realtime: bool = False,
     resident: bool = False,
     smem_nodes: bool = False,
+    full_height: int = 0,
 ):
     """resident: triangle rows live wholly in VMEM (mid-size scenes) — leaf
     visits slice them directly, no DMA machinery at all. smem_nodes: fat
@@ -324,29 +325,40 @@ def _make_ft_kernel(
                 eps = jnp.float32(1e-12)
                 t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
                 c_t = jnp.min(t_pair, axis=0)
-                rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
-                c_row = jnp.min(
-                    jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
-                    axis=0,
-                )
-                sel = (rows == c_row[None, :]).astype(jnp.float32)
-                inv_det = 1.0 / jnp.maximum(
-                    jnp.sum(det_abs * sel, axis=0), 1e-12
-                )
-                c_u = jnp.sum(us * sel, axis=0) * inv_det
-                c_v = jnp.sum(vs * sel, axis=0) * inv_det
                 better = c_t < hit_ref[HR_T, :]
-                hit_ref[HR_T, :] = jnp.where(better, c_t, hit_ref[HR_T, :])
-                hit_ref[HR_U, :] = jnp.where(better, c_u, hit_ref[HR_U, :])
-                hit_ref[HR_V, :] = jnp.where(better, c_v, hit_ref[HR_V, :])
-                # winning row's attributes (mt_rows lanes 64..73: n0/n1/n2 +
-                # material id) merged with the same one-hot mask
-                for a in range(10):
-                    col = sc[:, 64 + a][:, None]  # [K, 1], static lane
-                    att = jnp.sum(col * sel, axis=0)
-                    hit_ref[HR_ATTR + a, :] = jnp.where(
-                        better, att, hit_ref[HR_ATTR + a, :]
+
+                # Front-to-back descent makes late leaves rarely improve any
+                # lane; the whole merge (one-hot build + u/v picks + 13 row
+                # merges, ~as much VPU work as the pair test itself) is
+                # skipped when no lane got closer.
+                @pl.when(jnp.any(better))
+                def _merge():
+                    rows = jax.lax.broadcasted_iota(
+                        jnp.int32, t_pair.shape, 0
                     )
+                    c_row = jnp.min(
+                        jnp.where(
+                            t_pair == c_t[None, :], rows, jnp.int32(2**30)
+                        ),
+                        axis=0,
+                    )
+                    sel = (rows == c_row[None, :]).astype(jnp.float32)
+                    inv_det = 1.0 / jnp.maximum(
+                        jnp.sum(det_abs * sel, axis=0), 1e-12
+                    )
+                    c_u = jnp.sum(us * sel, axis=0) * inv_det
+                    c_v = jnp.sum(vs * sel, axis=0) * inv_det
+                    hit_ref[HR_T, :] = jnp.where(better, c_t, hit_ref[HR_T, :])
+                    hit_ref[HR_U, :] = jnp.where(better, c_u, hit_ref[HR_U, :])
+                    hit_ref[HR_V, :] = jnp.where(better, c_v, hit_ref[HR_V, :])
+                    # winning row's attributes (mt_rows lanes 64..73:
+                    # n0/n1/n2 + material id) merged with the same mask
+                    for a in range(10):
+                        col = sc[:, 64 + a][:, None]  # [K, 1], static lane
+                        att = jnp.sum(col * sel, axis=0)
+                        hit_ref[HR_ATTR + a, :] = jnp.where(
+                            better, att, hit_ref[HR_ATTR + a, :]
+                        )
 
             def child_test(lo, hi):
                 t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
@@ -552,7 +564,10 @@ def _make_ft_kernel(
             py = lin // width
             live = lin < (width * height)
         ndcx = (px.astype(jnp.float32) + 0.5) / jnp.float32(width) * 2.0 - 1.0
-        ndcy = (py.astype(jnp.float32) + 0.5) / jnp.float32(height) * 2.0 - 1.0
+        # Row-sharded launches: cam lane 12 = global row offset, full_height
+        # = global image height (see fused_sample_pallas._fused_kernel).
+        pyf = py.astype(jnp.float32) + cam_ref[s, 12]
+        ndcy = (pyf + 0.5) / jnp.float32(full_height or height) * 2.0 - 1.0
         du = tuple(cam_ref[s, 3 + k] for k in range(3))
         dv = tuple(cam_ref[s, 6 + k] for k in range(3))
         dw = tuple(cam_ref[s, 9 + k] for k in range(3))
@@ -761,9 +776,14 @@ def _ft_dispatch(
     realtime: bool = False,
     tile_r: int = 1024,
     block_w: int = 32,
+    py0=None,
+    full_height: int = 0,
 ):
     """Host side: packs constants/cameras/seeds/materials and launches the
-    fused traversal kernel over (tiles, samples). Returns (out rows, inv)."""
+    fused traversal kernel over (tiles, samples). Returns (out rows, inv).
+
+    py0/full_height: row-sharded launch renders rows [py0, py0+height) of a
+    full_height image with global NDC + seeds (parallel/render.py)."""
     from ..scene.scene import BVH_LEAF_SIZE
 
     bvh = scene["bvh"]
@@ -793,7 +813,7 @@ def _ft_dispatch(
             .reshape(-1)
         )
 
-    cam_pack = pack_cameras(cameras, realtime)
+    cam_pack = pack_cameras(cameras, realtime, py0=py0)
     const_pack = pack_consts(scene, options, env_kind)
     mat_pack = material_pack(scene["materials"])
 
@@ -801,6 +821,8 @@ def _ft_dispatch(
         lin = jnp.asarray(perm.astype(np.uint32))
     else:
         lin = jnp.arange(r_pad, dtype=jnp.uint32)
+    if py0 is not None:
+        lin = lin + jnp.asarray(py0, jnp.int32).astype(jnp.uint32) * jnp.uint32(width)
     seeds = jax.vmap(
         lambda fc: rng.init_rand(lin, fc.astype(jnp.uint32))
     )(cameras["frame_count"])[:, None, :]  # [S, 1, r_pad] uint32
@@ -838,6 +860,7 @@ def _ft_dispatch(
             realtime=realtime,
             resident=resident,
             smem_nodes=smem_nodes,
+            full_height=full_height,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -891,15 +914,16 @@ def _ft_dispatch(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height",
     ),
 )
 def _ft_progressive_sum_impl(
     scene, options, cameras, width, height, env_kind, interpret,
-    tile_r, block_w,
+    tile_r, block_w, py0=None, full_height=0,
 ):
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r=tile_r, block_w=block_w,
+        tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
     )
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
@@ -912,12 +936,17 @@ def fused_traverse_progressive_sum(
     height: int,
     env_kind: int,
     interpret: bool = False,
+    py0=None,
+    full_height: int = 0,
 ) -> jnp.ndarray:
-    """Sum of S progressive samples via in-kernel BVH traversal. [H, W, 3]."""
+    """Sum of S progressive samples via in-kernel BVH traversal. [H, W, 3].
+
+    py0/full_height: render rows [py0, py0+height) of a full_height-tall
+    image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w = _ft_knobs()
     return _ft_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r, block_w,
+        tile_r, block_w, py0, full_height,
     )
 
 
@@ -925,16 +954,18 @@ def fused_traverse_progressive_sum(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height",
     ),
 )
 def _ft_realtime_outputs_impl(
     scene, options, camera, width, height, env_kind, interpret,
-    tile_r, block_w,
+    tile_r, block_w, py0=None, full_height=0,
 ):
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
+        py0=py0, full_height=full_height,
     )
 
     def img3(r0):
@@ -958,11 +989,13 @@ def fused_traverse_realtime_outputs(
     height: int,
     env_kind: int,
     interpret: bool = False,
+    py0=None,
+    full_height: int = 0,
 ) -> dict:
     """One fused realtime sample (RealtimeRaytracing.hlsl tree) with every
     trace as in-kernel BVH traversal; returns the pipeline's AOV dict."""
     tile_r, block_w = _ft_knobs()
     return _ft_realtime_outputs_impl(
         scene, options, camera, width, height, env_kind, interpret,
-        tile_r, block_w,
+        tile_r, block_w, py0, full_height,
     )

@@ -830,6 +830,7 @@ def make_render_step(
     jax.jit,
     static_argnames=(
         "mode", "ao_only", "width", "height", "jitter_scale", "impl", "env_kind",
+        "full_height",
     ),
 )
 def render_sample(
@@ -843,19 +844,28 @@ def render_sample(
     jitter_scale: float = 30.0,
     impl: str = "auto",
     env_kind: int | None = None,
+    row0=None,
+    full_height: int = 0,
 ) -> dict:
     """Render one sample for the full [H, W] grid; the jitted per-frame kernel.
 
     The TPU analogue of one DispatchRays(w, h)
     (/root/reference/libs/DXRFramework/RtContext.cpp:192-222).
     Returns dict of [H, W, ...] images.
+
+    row0/full_height: render rows [row0, row0+height) of a full_height-tall
+    image with global NDC + pixel seeds (multi-chip row sharding).
     """
     from ..core.camera import primary_ray_grid  # local import to avoid cycle
 
-    origins, directions = primary_ray_grid(camera, width, height, jitter_scale)
+    origins, directions = primary_ray_grid(
+        camera, width, height, jitter_scale, row0=row0, full_height=full_height
+    )
     o = origins.reshape(-1, 3)
     d = directions.reshape(-1, 3)
-    seeds = rng.pixel_seeds(width, height, camera["frame_count"]).reshape(-1)
+    seeds = rng.pixel_seeds(
+        width, height, camera["frame_count"], row0=row0
+    ).reshape(-1)
 
     blocked = (
         ("bvh" in scene or "tlas" in scene)

@@ -29,3 +29,17 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent XLA compilation cache: the suite is compile-bound on this 1-CPU
+# box (same graphs recompiled every run), and warm runs are ~3x faster. The
+# cpu_aot_loader "machine feature mismatch" stderr it triggers is a pseudo-
+# feature (prefer-no-scatter/gather) bookkeeping quirk — artifacts are built
+# and loaded on the same host. Opt out with DXR_NO_JAX_CACHE=1.
+if not os.environ.get("DXR_NO_JAX_CACHE"):
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # silence the loader
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

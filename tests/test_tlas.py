@@ -129,6 +129,7 @@ def test_two_level_agrees_with_flattened(two_level_scene, flat_scene):
     )
 
 
+@pytest.mark.slow
 def test_render_two_level_matches_flattened():
     """Full render (1 progressive sample, fixed RNG) through the two-level
     pallas-interpret path vs the flattened jnp reference path."""

@@ -82,6 +82,7 @@ def test_traverse8_closest_cornell(sah):
     assert agree > 0.98, agree
 
 
+@pytest.mark.slow
 def test_traverse8_closest_soup():
     mesh = random_triangle_soup(3000, seed=2, extent=10.0)
     data, packed = build(mesh, leaf_size=16)
@@ -99,6 +100,7 @@ def test_traverse8_closest_soup():
     assert agree > 0.98, agree
 
 
+@pytest.mark.slow
 def test_traverse8_matches_binary_kernel():
     mesh = random_triangle_soup(2000, seed=9, extent=10.0)
     data, packed = build(mesh, leaf_size=16)

@@ -10,6 +10,7 @@ import dataclasses
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from dxrexperiments_tpu.app.viewer import ViewerApp
 from dxrexperiments_tpu.scene import Scene, cornell_box
@@ -48,6 +49,7 @@ def make_app():
     return ViewerApp("cornell-glossy", width=32, height=32)
 
 
+@pytest.mark.slow
 def test_material_keys_rebake_and_restart():
     app = make_app()
     app.step(*[x for x in [app.handle_keys([])[0]]])  # one frame
@@ -96,6 +98,7 @@ def test_resize_recreates_outputs():
     assert pipe.accum_count == count
 
 
+@pytest.mark.slow
 def test_viewer_two_level_animate_steps():
     """Viewer with --accel two-level --animate-instances: instance spin via
     TLAS refit each frame, accumulation restarts, and pipeline switching
