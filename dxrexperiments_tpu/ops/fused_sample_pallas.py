@@ -678,7 +678,7 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     from ..scene.lights import light_counts
 
-    if light_counts(scene["lights"]) != (1, 1):
+    if light_counts(scene["lights"]) != (1, 1, 0):
         # The megakernel bakes the reference's fixed 1 dir + 1 point rig;
         # arbitrary rigs take the wavefront path (integrator._direct_lighting).
         return False

@@ -747,7 +747,7 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     from ..scene.lights import light_counts
 
-    if light_counts(scene["lights"]) != (1, 1):
+    if light_counts(scene["lights"]) != (1, 1, 0):
         return False
     if int(scene["materials"]["albedo"].shape[0]) > MP_MAX_MATERIALS:
         return False

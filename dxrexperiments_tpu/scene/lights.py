@@ -35,6 +35,25 @@ def point_light(position, color=DEFAULT_POINT_COLOR) -> dict:
     }
 
 
+def area_light(corner, edge_u, edge_v, color=(1.0, 1.0, 1.0, 10.0)) -> dict:
+    """Rectangular (quad) area light: emits `color * intensity` diffusely
+    from the parallelogram corner + s*edge_u + t*edge_v, s,t in [0,1].
+
+    BEYOND-reference capability (the reference's rig is one directional + one
+    point light, RaytracingHlslCompat.h:52-62); BASELINE config 2 asks for
+    area-light soft shadows. Shading draws N stratified samples on the quad
+    per pixel (integrator._direct_lighting) — every sample's shadow ray joins
+    the same single batched any-hit launch as the other lights' rays.
+    """
+    return {
+        "corner": jnp.asarray(np.asarray(corner, np.float32)[:3]),
+        "eu": jnp.asarray(np.asarray(edge_u, np.float32)[:3]),
+        "ev": jnp.asarray(np.asarray(edge_v, np.float32)[:3]),
+        "color": jnp.asarray(np.asarray(color, np.float32)[:3]),
+        "intensity": jnp.asarray(np.float32(color[3])),
+    }
+
+
 def _stack_group(entries, keys) -> dict:
     """Stack a list of single-light dicts into [K, ...] arrays (K may be 0)."""
     if not entries:
@@ -56,20 +75,28 @@ def point_lights(entries: list) -> dict:
     return _stack_group(entries, ("position", "color", "intensity"))
 
 
+def area_lights(entries: list) -> dict:
+    """Stacked area-light rig: list of area_light() dicts -> arrays."""
+    return _stack_group(entries, ("corner", "eu", "ev", "color", "intensity"))
+
+
 def normalize_lights(lights: dict) -> dict:
     """Canonicalize a light rig to stacked arrays.
 
     Accepts the classic exactly-one-of-each form (single dicts, parity with
     the reference's fixed DirectionalLightParams + PointLightParams rig,
     /root/reference/assets/shaders/RaytracingHlslCompat.h:52-62), lists of
-    lights, already-stacked arrays, or missing groups — and returns
-    {"dir": {[D,...]}, "point": {[P,...]}} with D, P >= 0. Pure reshapes, so
-    it is safe to call inside jit (shapes are static per pytree structure).
+    lights, already-stacked arrays, or missing groups — plus the
+    beyond-reference "area" group (area_light) — and returns
+    {"dir": [D,...], "point": [P,...], "area": [A,...]} arrays with
+    D, P, A >= 0. Pure reshapes, so it is safe to call inside jit (shapes
+    are static per pytree structure).
     """
     out = {}
     for group, keys in (
         ("dir", ("forward", "color", "intensity")),
         ("point", ("position", "color", "intensity")),
+        ("area", ("corner", "eu", "ev", "color", "intensity")),
     ):
         g = lights.get(group)
         if g is None:
@@ -83,10 +110,14 @@ def normalize_lights(lights: dict) -> dict:
     return out
 
 
-def light_counts(lights: dict) -> tuple[int, int]:
-    """(num directional, num point) for a rig in any accepted form."""
+def light_counts(lights: dict) -> tuple[int, int, int]:
+    """(num directional, num point, num area) for a rig in any form."""
     n = normalize_lights(lights)
-    return int(n["dir"]["forward"].shape[0]), int(n["point"]["position"].shape[0])
+    return (
+        int(n["dir"]["forward"].shape[0]),
+        int(n["point"]["position"].shape[0]),
+        int(n["area"]["corner"].shape[0]),
+    )
 
 
 def animated_dir_light_forward(elapsed_time: float) -> np.ndarray:

@@ -33,6 +33,7 @@ a different RTPSO.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -344,28 +345,41 @@ def _interpolate_hit(scene: dict, hits: dict, origins, directions):
 # --------------------------------------------------------------------------- #
 # Lights (RaytracingCommon.hlsli:126-147)
 # --------------------------------------------------------------------------- #
+# Stratified samples drawn on each area light per shading point (soft
+# shadows). 4 = a 2x2 stratum grid; BEYOND-reference (the DXR rig has no
+# area lights) so no parity constraint pins the value.
+AREA_LIGHT_SAMPLES = 4
+
+
 def _direct_lighting(
     scene, options, position, normal, seed, active, impl,
     sort_shadows: bool = False,
 ):
-    """Direct term over an ARBITRARY light rig (D directional + P point,
-    stacked arrays — see scene.lights.normalize_lights; the reference's
-    fixed 1+1 rig is the D=P=1 case and reproduces it lane-for-lane),
-    including the debug==2 one-of-L-lights MC estimator
+    """Direct term over an ARBITRARY light rig (D directional + P point +
+    A area, stacked arrays — see scene.lights.normalize_lights; the
+    reference's fixed 1+1 rig is the D=P=1, A=0 case and reproduces it
+    lane-for-lane), including the debug==2 one-of-L-lights MC estimator
     (ProgressiveRaytracing.hlsl:92-104 generalised: pick uniformly, scale by
     L; at L=2 the selection and weights match the HLSL bit-exactly).
     Returns (seed, direct [N,3]).
 
-    ALL lights' shadow rays are batched into ONE any-hit launch (the DXR
-    version issues one TraceRay per light; on TPU a single [L*N]-ray kernel
-    keeps launch count constant in L)."""
+    Area lights (BEYOND-reference, BASELINE config 2) draw
+    AREA_LIGHT_SAMPLES stratified points on the emitting quad from a
+    DECOUPLED TEA seed (so adding an area light leaves the reference-parity
+    draw sequence untouched) and estimate soft-shadowed irradiance
+    L * mean_j(NoL * cos_l * area / dist_j^2 * vis_j).
+
+    ALL lights' shadow rays — including every area sample — are batched into
+    ONE any-hit launch (the DXR version issues one TraceRay per light; on
+    TPU a single big kernel keeps launch count constant in L and S)."""
     from ..scene.lights import normalize_lights
 
     lights = normalize_lights(scene["lights"])
-    dl, pl_ = lights["dir"], lights["point"]
+    dl, pl_, al = lights["dir"], lights["point"], lights["area"]
     d_count = int(dl["forward"].shape[0])
     p_count = int(pl_["position"].shape[0])
-    l_count = d_count + p_count
+    a_count = int(al["corner"].shape[0])
+    l_count = d_count + p_count + a_count
     n = position.shape[0]
 
     if l_count == 0:
@@ -390,23 +404,49 @@ def _direct_lighting(
         dist = vm.length(path)
         dirs.append(vm.normalize(path))
         t_maxs.append(jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON))
+    if a_count:
+        s_total = AREA_LIGHT_SAMPLES
+        # stratify into a su x sv grid (su*sv = s_total when square; the
+        # remainder samples draw unstratified)
+        su = max(int(math.isqrt(s_total)), 1)
+        sv = s_total // su
+        aseed = rng.init_rand(seed, jnp.uint32(0x9E3779B9))
+        a_dist2 = []
+        for j in range(s_total):
+            aseed, r0, r1 = rng.next_rand2(aseed)
+            if j < su * sv:
+                r0 = (jnp.float32(j % su) + r0) / su
+                r1 = (jnp.float32(j // su % sv) + r1) / sv
+            # [A, N, 3] sample points on each quad
+            p_l = (
+                al["corner"][:, None, :]
+                + r0[None, :, None] * al["eu"][:, None, :]
+                + r1[None, :, None] * al["ev"][:, None, :]
+            )
+            apath = p_l - position[None]
+            adist = vm.length(apath)
+            dirs.append(vm.normalize(apath))
+            t_maxs.append(jnp.maximum(adist - RAY_EPSILON, RAY_EPSILON))
+            a_dist2.append(jnp.maximum(adist * adist, 1e-12))
 
-    all_dirs = jnp.concatenate(dirs).reshape(l_count * n, 3)
-    all_tmax = jnp.concatenate(t_maxs).reshape(l_count * n)
+    # One shadow ray per dir/point light, AREA_LIGHT_SAMPLES per area light.
+    r_count = d_count + p_count + a_count * AREA_LIGHT_SAMPLES
+    all_dirs = jnp.concatenate(dirs).reshape(r_count * n, 3)
+    all_tmax = jnp.concatenate(t_maxs).reshape(r_count * n)
     # Zero the direction of inactive lanes (their `vis` is masked below):
     # the occlusion kernels pre-mark |d|≈0 lanes as occluded, so garbage
     # origins stop traversing AND stop blocking the all-occluded early exit.
-    act = jnp.broadcast_to(active[None], (l_count, n)).reshape(-1, 1)
+    act = jnp.broadcast_to(active[None], (r_count, n)).reshape(-1, 1)
     all_dirs = jnp.where(act, all_dirs, 0.0)
     occ = _trace_any(
         scene,
-        jnp.broadcast_to(position[None], (l_count, n, 3)).reshape(-1, 3),
+        jnp.broadcast_to(position[None], (r_count, n, 3)).reshape(-1, 3),
         all_dirs,
         RAY_EPSILON,
         all_tmax,
         impl,
         sort_rays=sort_shadows,
-    ).reshape(l_count, n)
+    ).reshape(r_count, n)
     vis = jnp.where(active[None] & ~occ, 1.0, 0.0)
 
     contribs = []
@@ -418,12 +458,33 @@ def _direct_lighting(
             * (nol * vis[:d_count])[..., None]
         )
     if p_count:
-        l_pnt = dirs[-1]
+        l_pnt = dirs[1 if d_count else 0]
         nol = vm.saturate(vm.dot(normal[None], l_pnt))
         falloff = 1.0 / (2.0 * M_PI * jnp.maximum(dist * dist, 1e-12))
         contribs.append(
             (pl_["color"] * pl_["intensity"][:, None])[:, None, :]
-            * (nol * vis[d_count:] * falloff)[..., None]
+            * (nol * vis[d_count : d_count + p_count] * falloff)[..., None]
+        )
+    if a_count:
+        s_total = AREA_LIGHT_SAMPLES
+        cross = jnp.cross(al["eu"], al["ev"])  # [A, 3]
+        quad_area = vm.length(cross)  # [A]
+        n_l = cross / jnp.maximum(quad_area, 1e-12)[:, None]
+        base = d_count + p_count
+        geo = jnp.zeros((a_count, n), jnp.float32)
+        for j in range(s_total):
+            wi = dirs[(1 if d_count else 0) + (1 if p_count else 0) + j]
+            nol = vm.saturate(vm.dot(normal[None], wi))
+            # emits from BOTH faces of the quad (|cos| at the light)
+            cos_l = jnp.abs(vm.dot(n_l[:, None, :], wi))
+            geo = geo + (
+                nol * cos_l / a_dist2[j]
+                * vis[base + j * a_count : base + (j + 1) * a_count]
+            )
+        geo = geo * (quad_area / s_total)[:, None]
+        contribs.append(
+            (al["color"] * al["intensity"][:, None])[:, None, :]
+            * geo[..., None]
         )
     per_light = jnp.concatenate(contribs)  # [L, N, 3]
 

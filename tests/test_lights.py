@@ -54,7 +54,7 @@ def test_normalize_forms():
     n = normalize_lights(single)
     assert n["dir"]["forward"].shape == (1, 3)
     assert n["point"]["position"].shape == (1, 3)
-    assert light_counts(single) == (1, 1)
+    assert light_counts(single) == (1, 1, 0)
 
     stacked = {
         "dir": dir_lights([directional_light((0, -1, 0))]),
@@ -62,7 +62,7 @@ def test_normalize_forms():
             [point_light((0, 1, 0)), point_light((1, 1, 0))]
         ),
     }
-    assert light_counts(stacked) == (1, 2)
+    assert light_counts(stacked) == (1, 2, 0)
 
     as_lists = {
         "dir": [],
