@@ -66,22 +66,31 @@ def main() -> None:
         return jnp.asarray(o), jnp.asarray(d)
 
     def closest_compare(name, got, want):
-        """got/want: dicts with hit/t arrays (any backend)."""
+        """got/want: dicts with hit/t/tri arrays (any backend).
+
+        Lanes are compared per-primitive: when both paths report the SAME
+        triangle, t must match to a relative TOL; lanes resolving to a
+        different hit (hit flag OR triangle id differs — knife-edge rays
+        whose winner flips under Mosaic's fused-multiply-add contraction)
+        count toward the tie-break fraction instead, bounded by FRAC."""
         gh = np.asarray(got["hit"])
         wh = np.asarray(want["hit"])
-        agree = gh == wh
+        gtri = np.asarray(got["tri"])
+        wtri = np.asarray(want["tri"])
         gt = np.asarray(got["t"])
         wt = np.asarray(want["t"])
-        both = agree & gh
-        max_t = float(np.abs(gt[both] - wt[both]).max()) if both.any() else 0.0
-        frac = float((~agree).mean())
+        same = (gh == wh) & (~gh | (gtri == wtri))
+        both = same & gh
+        rel = np.abs(gt - wt) / np.maximum(1.0, np.abs(wt))
+        max_t = float(rel[both].max()) if both.any() else 0.0
+        frac = float((~same).mean())
         results[name] = {
-            "max_t_diff_agreeing": max_t,
-            "hit_disagree_frac": frac,
+            "max_rel_t_diff_same_prim": max_t,
+            "tie_break_frac": frac,
             "n": int(gh.size),
             "pass": bool(max_t <= TOL and frac <= FRAC),
         }
-        print(f"{name}: max_t {max_t:.2e} disagree {frac:.4%}", flush=True)
+        print(f"{name}: max_rel_t {max_t:.2e} tie-break {frac:.4%}", flush=True)
 
     def image_compare(name, got, want, tol=1e-3, frac=FRAC):
         g = np.asarray(got)

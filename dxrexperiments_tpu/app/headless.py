@@ -83,15 +83,33 @@ def build_scene(name: str) -> tuple[Scene, Camera]:
             (0.0, 1.0, 0.0),
         )
         return sc, cam
-    if name in ("cornell", "cornell-glossy"):
-        mesh, materials = cornell_box(glossy_tall_box=(name == "cornell-glossy"))
+    if name in ("cornell", "cornell-glossy", "cornell-tex"):
+        mesh, materials = cornell_box(
+            glossy_tall_box=(name == "cornell-glossy"),
+            textured_floor=(name == "cornell-tex"),
+        )
         for m in materials:
             sc.add_material(m)
         sc.add_model(mesh)
-        sc.lights = {
-            "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
-            "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
-        }
+        if name == "cornell-tex":
+            # BASELINE config 2 feature demo: textured albedo + quad area
+            # light with stratified soft shadows (scene/textures.py,
+            # scene/lights.area_light).
+            from ..scene.lights import area_light
+
+            sc.lights = {
+                "dir": [directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.3))],
+                "point": [],
+                "area": [area_light(
+                    (-0.4, 1.96, -0.4), (0.8, 0, 0), (0, 0, 0.8),
+                    (1.0, 0.9, 0.7, 4.0),
+                )],
+            }
+        else:
+            sc.lights = {
+                "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+                "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+            }
         sc.environment = envmap.constant_env((0.0, 0.0, 0.0))
         cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
     else:
@@ -258,7 +276,11 @@ def _main_sharded(args, scene, camera, width, height) -> int:
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scene", default="cornell", help="cornell | cornell-glossy | mesh file path")
+    ap.add_argument(
+        "--scene", default="cornell",
+        help="cornell | cornell-glossy | cornell-tex (textured floor + area"
+        " light) | soup:N | instanced:K | mesh file path",
+    )
     ap.add_argument("--size", default="512x512")
     ap.add_argument("--spp", type=int, default=16, help="progressive samples")
     ap.add_argument("--pipeline", choices=["progressive", "realtime"], default="progressive")

@@ -678,6 +678,10 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     from ..scene.lights import light_counts
 
+    if "textures" in scene:
+        # Textured albedo needs per-hit UV gathers into an arbitrarily
+        # large table; textured scenes take the wavefront path.
+        return False
     if light_counts(scene["lights"]) != (1, 1, 0):
         # The megakernel bakes the reference's fixed 1 dir + 1 point rig;
         # arbitrary rigs take the wavefront path (integrator._direct_lighting).

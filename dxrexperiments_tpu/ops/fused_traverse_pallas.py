@@ -747,6 +747,10 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     from ..scene.lights import light_counts
 
+    if "textures" in scene:
+        # Textured albedo needs per-hit UV gathers into an arbitrarily
+        # large table; textured scenes take the wavefront path.
+        return False
     if light_counts(scene["lights"]) != (1, 1, 0):
         return False
     if int(scene["materials"]["albedo"].shape[0]) > MP_MAX_MATERIALS:

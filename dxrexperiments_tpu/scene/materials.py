@@ -35,6 +35,10 @@ class Material:
     roughness: float = 1.0
     ior: float = 1.5
     type: int = MATERIAL_DIFFUSE
+    # Optional [H, W, 3] float albedo image multiplied into `albedo` at hit
+    # UVs (scene.textures — BEYOND-reference; the DXR materials are
+    # constants, RaytracingHlslCompat.h:87-96).
+    albedo_texture: "np.ndarray | None" = None
 
     @staticmethod
     def reference_default() -> "Material":

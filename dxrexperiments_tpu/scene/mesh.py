@@ -38,6 +38,10 @@ class Mesh:
     material_ids: np.ndarray | None = None
     materials: list[Material] = dataclasses.field(default_factory=list)
     name: str = ""
+    # Per-face-corner texture UVs [F, 3, 2] (None = untextured). Stored per
+    # corner rather than per vertex so OBJ's independent vt indexing needs
+    # no vertex splitting (scene.textures).
+    uv_corners: np.ndarray | None = None
 
     def __post_init__(self):
         self.positions = np.asarray(self.positions, np.float32).reshape(-1, 3)
@@ -48,6 +52,10 @@ class Mesh:
         if self.material_ids is None:
             self.material_ids = np.zeros(len(self.indices), np.int32)
         self.material_ids = np.asarray(self.material_ids, np.int32)
+        if self.uv_corners is not None:
+            self.uv_corners = np.asarray(
+                self.uv_corners, np.float32
+            ).reshape(-1, 3, 2)
 
     @property
     def num_triangles(self) -> int:
@@ -129,14 +137,31 @@ def _parse_mtl(path: str) -> dict[str, Material]:
             elif tag == "d" and len(parts) >= 2:
                 if float(parts[1]) < 0.99:
                     cur.type = 2  # treat translucent as glass
+            elif tag == "map_Kd" and len(parts) >= 2:
+                from .textures import load_texture_image
+
+                tex = load_texture_image(
+                    os.path.join(os.path.dirname(path), parts[-1])
+                )
+                if tex is not None:
+                    cur.albedo_texture = tex
     return materials
 
 
 def _finish_obj(
-    pos, nrm_arr, fp, fn, face_mat, mtl_lib, mat_order, path
+    pos, nrm_arr, fp, fn, face_mat, mtl_lib, mat_order, path,
+    uv_arr=None, ft=None,
 ) -> Mesh:
     """Shared tail of the Python/native OBJ paths: normal re-indexing or
-    generation, material list resolution."""
+    generation, material list resolution, per-corner UV resolution."""
+    uv_corners = None
+    if uv_arr is not None and len(uv_arr) and ft is not None and (ft >= 0).any():
+        # OBJ v-origin is bottom-left; our samplers are top-left row 0.
+        uvs = np.asarray(uv_arr, np.float32)
+        uvs[:, 1] = 1.0 - uvs[:, 1]
+        uv_corners = np.where(
+            (ft >= 0)[..., None], uvs[np.maximum(ft, 0)], 0.0
+        ).astype(np.float32)
     have_normals = len(nrm_arr) > 0 and (fn >= 0).all() and len(fp) > 0
     if have_normals:
         corner_pos = pos[fp.reshape(-1)]
@@ -158,6 +183,7 @@ def _finish_obj(
         material_ids=np.asarray(face_mat, np.int32),
         materials=materials,
         name=os.path.basename(path),
+        uv_corners=uv_corners,
     )
 
 
@@ -197,6 +223,16 @@ def load_obj(path: str, use_native: bool = True) -> Mesh:
     toolchain is available; this Python parser is the reference fallback."""
     if use_native:
         try:
+            with open(path, "rb") as f:
+                raw = f.read()
+            has_vt = raw.startswith(b"vt ") or b"\nvt " in raw or b"\rvt " in raw
+        except OSError:
+            has_vt = False
+        if has_vt:
+            # The C++ fast path drops vt; textured meshes take the Python
+            # parser so per-corner UVs survive.
+            return _load_obj_python(path)
+        try:
             from ..utils.native import parse_obj_native
 
             res = parse_obj_native(path)
@@ -214,8 +250,10 @@ def load_obj(path: str, use_native: bool = True) -> Mesh:
 def _load_obj_python(path: str) -> Mesh:
     positions: list[tuple] = []
     normals: list[tuple] = []
+    uvs: list[tuple] = []
     face_pos: list[list[int]] = []
     face_nrm: list[list[int]] = []
+    face_uv: list[list[int]] = []
     face_mat: list[int] = []
     mtl_lib: dict[str, Material] = {}
     mat_order: list[str] = []
@@ -234,6 +272,8 @@ def _load_obj_python(path: str) -> Mesh:
                 positions.append(tuple(float(x) for x in parts[1:4]))
             elif tag == "vn":
                 normals.append(tuple(float(x) for x in parts[1:4]))
+            elif tag == "vt":
+                uvs.append(tuple(float(x) for x in parts[1:3]))
             elif tag == "mtllib" and len(parts) > 1:
                 mtl_path = os.path.join(os.path.dirname(path), " ".join(parts[1:]))
                 mtl_lib.update(_parse_mtl(mtl_path))
@@ -243,10 +283,14 @@ def _load_obj_python(path: str) -> Mesh:
                     mat_order.append(mname)
                 cur_mat = mat_order.index(mname)
             elif tag == "f":
-                vs, ns = [], []
+                vs, ns, ts = [], [], []
                 for vert in parts[1:]:
                     comps = vert.split("/")
                     vs.append(resolve(int(comps[0]), len(positions)))
+                    if len(comps) >= 2 and comps[1]:
+                        ts.append(resolve(int(comps[1]), len(uvs)))
+                    else:
+                        ts.append(-1)
                     if len(comps) >= 3 and comps[2]:
                         ns.append(resolve(int(comps[2]), len(normals)))
                     else:
@@ -254,6 +298,7 @@ def _load_obj_python(path: str) -> Mesh:
                 for i in range(1, len(vs) - 1):  # fan triangulation
                     face_pos.append([vs[0], vs[i], vs[i + 1]])
                     face_nrm.append([ns[0], ns[i], ns[i + 1]])
+                    face_uv.append([ts[0], ts[i], ts[i + 1]])
                     face_mat.append(max(cur_mat, 0))
 
     if not face_pos:
@@ -268,6 +313,8 @@ def _load_obj_python(path: str) -> Mesh:
         mtl_lib,
         mat_order,
         path,
+        uv_arr=np.asarray(uvs, np.float32).reshape(-1, 2),
+        ft=np.asarray(face_uv, np.int32),
     )
 
 

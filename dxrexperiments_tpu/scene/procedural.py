@@ -97,10 +97,19 @@ def merge_meshes(meshes: list[Mesh], name: str = "merged") -> Mesh:
     offs = np.cumsum([0] + [len(m.positions) for m in meshes[:-1]])
     idx = np.concatenate([m.indices + o for m, o in zip(meshes, offs)])
     mids = np.concatenate([m.material_ids for m in meshes])
-    return Mesh(pos, nrm, idx, material_ids=mids, name=name)
+    uvs = None
+    if any(m.uv_corners is not None for m in meshes):
+        uvs = np.concatenate([
+            m.uv_corners if m.uv_corners is not None
+            else np.zeros((len(m.indices), 3, 2), np.float32)
+            for m in meshes
+        ])
+    return Mesh(pos, nrm, idx, material_ids=mids, name=name, uv_corners=uvs)
 
 
-def cornell_box(glossy_tall_box: bool = False) -> tuple[Mesh, list[Material]]:
+def cornell_box(
+    glossy_tall_box: bool = False, textured_floor: bool = False
+) -> tuple[Mesh, list[Material]]:
     """Classic Cornell box: white floor/ceiling/back, red left, green right
     wall, two interior boxes, plus an emissive ceiling panel.
 
@@ -121,7 +130,13 @@ def cornell_box(glossy_tall_box: bool = False) -> tuple[Mesh, list[Material]]:
         )
 
     # floor (normal +y)
-    add_quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1], 0)
+    add_quad([-1, 0, -1], [-1, 0, 1], [1, 0, 1], [1, 0, -1], 5 if textured_floor else 0)
+    if textured_floor:
+        # planar UVs over the [-1,1]^2 floor: corner order above is
+        # (-1,-1) (-1,1) (1,1) (1,-1) -> uv (0,0) (0,1) (1,1) (1,0)
+        meshes[-1].uv_corners = np.array(
+            [[[0, 0], [0, 1], [1, 1]], [[0, 0], [1, 1], [1, 0]]], np.float32
+        )
     # ceiling (normal -y)
     add_quad([-1, 2, -1], [1, 2, -1], [1, 2, 1], [-1, 2, 1], 0)
     # back wall z=-1 (normal +z)
@@ -153,6 +168,17 @@ def cornell_box(glossy_tall_box: bool = False) -> tuple[Mesh, list[Material]]:
         if glossy_tall_box
         else Material(albedo=(0.73, 0.73, 0.73, 1.0), type=MATERIAL_DIFFUSE),
     ]
+    if textured_floor:
+        from .textures import checker_texture
+
+        materials.append(
+            Material(
+                albedo=(0.73, 0.73, 0.73, 1.0),
+                albedo_texture=checker_texture(
+                    8, (1.0, 1.0, 1.0), (0.35, 0.3, 0.25)
+                ),
+            )
+        )
     return merge_meshes(meshes, name="cornell_box"), materials
 
 

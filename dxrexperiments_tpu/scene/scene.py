@@ -105,6 +105,7 @@ class Scene:
         it; 'none' keeps the brute-force-only scene."""
         v0s, e1s, e2s = [], [], []
         n0s, n1s, n2s = [], [], []
+        uvcs = []
         mat_ids = []
         inst_ids = []
         mat_offset_for_mesh: dict[int, int] = {}
@@ -132,6 +133,11 @@ class Scene:
             n0s.append(nrm[tri[:, 0]])
             n1s.append(nrm[tri[:, 1]])
             n2s.append(nrm[tri[:, 2]])
+            uvcs.append(
+                mesh.uv_corners
+                if mesh.uv_corners is not None
+                else np.zeros((len(tri), 3, 2), np.float32)
+            )
 
             if inst.material_override is not None:
                 ids = np.full(len(tri), inst.material_override, np.int32)
@@ -259,6 +265,26 @@ class Scene:
             "env": env,
         }
 
+        # Albedo textures (scene.textures): only attach the table + per-
+        # corner UVs when some material is textured — untextured scenes keep
+        # the round-2 pytree (and the fused megakernel gates key off the
+        # "textures" key's absence).
+        from .textures import pack_texture_table
+
+        textures = pack_texture_table(materials)
+        if textures is not None:
+            uvc = (
+                np.concatenate(uvcs).astype(np.float32)
+                if uvcs
+                else np.zeros((0, 3, 2), np.float32)
+            )
+            uv_pad = np.zeros((padded, 3, 2), np.float32)
+            uv_pad[: len(uvc)] = uvc
+            scene_dict["textures"] = textures
+            scene_dict["uv0"] = jnp.asarray(uv_pad[:, 0])
+            scene_dict["uv1"] = jnp.asarray(uv_pad[:, 1])
+            scene_dict["uv2"] = jnp.asarray(uv_pad[:, 2])
+
         want_bvh = accel == "bvh" or (accel == "auto" and num_tris > BVH_THRESHOLD)
         if want_bvh and num_tris > 0:
             from ..accel import bvh as bvh_mod
@@ -294,7 +320,7 @@ class Scene:
         mat_offset_for_mesh: dict[int, int] = {}
         mesh_index: dict[int, int] = {}
         meshes_geo = []  # (v0, e1, e2) per unique mesh
-        mesh_attr = []  # (n0, n1, n2, mat_id) per unique mesh
+        mesh_attr = []  # (n0, n1, n2, mat_id, uv_corners) per unique mesh
         inst_mesh = np.zeros((len(self.instances),), np.int64)
         transforms = np.zeros((len(self.instances), 4, 4), np.float32)
         overrides = np.full((len(self.instances),), -1, np.int64)
@@ -330,6 +356,9 @@ class Scene:
                         mesh.normals[tri[:, 1]].astype(np.float32),
                         mesh.normals[tri[:, 2]].astype(np.float32),
                         mid.astype(np.int32),
+                        mesh.uv_corners
+                        if mesh.uv_corners is not None
+                        else np.zeros((len(tri), 3, 2), np.float32),
                     )
                 )
             inst_mesh[inst_idx] = mesh_index[key]
@@ -375,7 +404,7 @@ class Scene:
             if self.environment is not None
             else envmap_mod.constant_env((0.0, 0.0, 0.0))
         )
-        return {
+        out = {
             "tlas": tl,
             "tlas_meta": tlas_mod.HostStatic({
                 "num_instances": ctx.num_instances,
@@ -399,6 +428,16 @@ class Scene:
             "env": env,
             "num_tris": jnp.asarray(num_tris, jnp.int32),
         }
+        from .textures import pack_texture_table
+
+        textures = pack_texture_table(materials)
+        if textures is not None:
+            uvc = np.concatenate([a[4] for a in mesh_attr]).astype(np.float32)
+            out["textures"] = textures
+            out["uv0_obj"] = jnp.asarray(uvc[:, 0])
+            out["uv1_obj"] = jnp.asarray(uvc[:, 1])
+            out["uv2_obj"] = jnp.asarray(uvc[:, 2])
+        return out
 
 
 def rebake_material(scene: dict, index: int, material: Material) -> dict:

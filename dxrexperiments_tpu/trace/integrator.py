@@ -218,6 +218,22 @@ def _trace_closest(
             "ior": h["ior"],
             "type": h["type"],
         }
+        if "textures" in scene:
+            # The in-kernel attr fetch returns constant material rows; the
+            # texture multiplier is an XLA epilogue over the hit UVs.
+            from ..scene.textures import sample_albedo
+
+            tri = jnp.maximum(h["tri"], 0)
+            u, v = h["u"], h["v"]
+            w = 1.0 - u - v
+            uv = (
+                w[..., None] * scene["uv0"][tri]
+                + u[..., None] * scene["uv1"][tri]
+                + v[..., None] * scene["uv2"][tri]
+            )
+            mat["albedo"] = mat["albedo"] * sample_albedo(
+                scene["textures"], scene["mat_id"][tri], uv
+            )
         return h["hit"], h["position"], h["normal"], mat
     hits = intersect.intersect_closest(
         scene, origins, directions, t_min, t_max, cull_backface=cull
@@ -321,6 +337,17 @@ def _interpolate_hit_two_level(scene: dict, hits: dict, origins, directions):
     override = scene["tlas"]["inst_mat_override"][inst]
     mid = jnp.where(override >= 0, override, scene["mat_id_obj"][tri])
     mat = _gather_material(scene["materials"], mid)
+    if "textures" in scene:
+        from ..scene.textures import sample_albedo
+
+        uv = (
+            w[..., None] * scene["uv0_obj"][tri]
+            + u[..., None] * scene["uv1_obj"][tri]
+            + v[..., None] * scene["uv2_obj"][tri]
+        )
+        mat["albedo"] = mat["albedo"] * sample_albedo(
+            scene["textures"], mid, uv
+        )
     return position, normal, mat
 
 
@@ -338,7 +365,21 @@ def _interpolate_hit(scene: dict, hits: dict, origins, directions):
     )
     normal = vm.normalize(n)
     position = origins + hits["t"][..., None] * directions
-    mat = _gather_material(scene["materials"], scene["mat_id"][tri])
+    mid = scene["mat_id"][tri]
+    mat = _gather_material(scene["materials"], mid)
+    if "textures" in scene:
+        # Albedo texture modulation (scene/textures.py): one quad-packed
+        # gather per hit; BEYOND-reference (DXR materials are constants).
+        from ..scene.textures import sample_albedo
+
+        uv = (
+            w[..., None] * scene["uv0"][tri]
+            + u[..., None] * scene["uv1"][tri]
+            + v[..., None] * scene["uv2"][tri]
+        )
+        mat["albedo"] = mat["albedo"] * sample_albedo(
+            scene["textures"], mid, uv
+        )
     return position, normal, mat
 
 
