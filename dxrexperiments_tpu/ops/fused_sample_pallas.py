@@ -157,8 +157,26 @@ USE_MXU_TERMS = False  # measured 2.2x SLOWER on v5e (65.5 vs 29.2 ms/dispatch):
 # f32-emulation at K=16 cannot beat the 19 VPU FMA sweeps even at R=4096.
 
 
+def _t_rows(mt_ref, o, o_scalar: bool = False):
+    """Origin-only Möller–Trumbore t-numerator rows [C, TILE_R] (or [C, 1]
+    for a lane-constant origin).
+
+    t_d depends ONLY on the ray origin, so every sweep that shoots from the
+    same origin set (the 2 shadow sweeps + both secondary closest sweeps all
+    originate at the primary hit points) shares ONE evaluation — 4 of the
+    34 per-pair term ops, paid once instead of per sweep."""
+    c = mt_ref.shape[0] // 4
+
+    def col(k):
+        return mt_ref[3 * c : 4 * c, k][:, None]
+
+    ob = list(o) if o_scalar else [o[k][None, :] for k in range(3)]
+    return ob[0] * col(6) + ob[1] * col(7) + ob[2] * col(8) + col(9)
+
+
 def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
-                r0: int = 0, rn: int | None = None):
+                r0: int = 0, rn: int | None = None, t_d=None,
+                d_scalar: bool = False, o_scalar: bool = False):
     """Möller–Trumbore validity/t for (tri, ray) pairs.
 
     o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar. r0/rn select
@@ -167,14 +185,22 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
     with hit-for-hit up to fp reassociation). Returns (valid, t_pair, us,
     vs, det_abs), each [rn, TILE_R]; t_pair None when need_t=False.
 
+    Operand-shape specializations (identical arithmetic, fewer VPU lanes):
+      * d_scalar — d is a 3-tuple of rank-0 scalars (a lane-constant
+        direction, e.g. the DIRECTIONAL-light shadow rays): det and the
+        db-halves of u_d/v_d collapse to [rn, 1] per-triangle columns.
+      * o_scalar — o is rank-0 scalars (the pinhole camera origin of the
+        primary sweep): t_d collapses to [rn, 1].
+      * t_d — precomputed _t_rows(...) for this origin set, sliced here.
+
     With USE_MXU_TERMS the four term groups are ONE [4C,16]@[16,R] matmul
     at HIGHEST precision: the MXU computes the 19 FMA sweeps while the VPU
     handles the sign/window mask — the units overlap, and at R=4096 the
     matmul is throughput- (not latency-) bound, unlike the per-chunk shapes
     in intersect_pallas where HIGHEST small-K dots measured 18x slow.
     """
-    ob = [o[k][None, :] for k in range(3)]
-    db = [d[k][None, :] for k in range(3)]
+    ob = list(o) if o_scalar else [o[k][None, :] for k in range(3)]
+    db = list(d) if d_scalar else [d[k][None, :] for k in range(3)]
     m = [
         ob[1] * db[2] - ob[2] * db[1],
         ob[2] * db[0] - ob[0] * db[2],
@@ -184,7 +210,8 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
     c = mt_ref.shape[0] // 4
     if rn is None:
         rn = c
-    if USE_MXU_TERMS and (r0, rn) == (0, c):
+    if (USE_MXU_TERMS and (r0, rn) == (0, c) and t_d is None
+            and not d_scalar and not o_scalar):
         lhs = jnp.concatenate(
             db
             + m
@@ -225,9 +252,13 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
             + m[1] * col(2, 4)
             + m[2] * col(2, 5)
         )
-        t_d = (
-            ob[0] * col(3, 6) + ob[1] * col(3, 7) + ob[2] * col(3, 8) + col(3, 9)
-        )
+        if t_d is None:
+            t_d = (
+                ob[0] * col(3, 6) + ob[1] * col(3, 7) + ob[2] * col(3, 8)
+                + col(3, 9)
+            )
+        else:
+            t_d = t_d[r0 : r0 + rn]
 
     s = jnp.sign(det)
     det_abs = det * s
@@ -271,34 +302,100 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
 CHUNK_T = 256  # triangles per in-kernel chunk ([CHUNK_T, TILE_R] fits VMEM)
 
 
-def _any_hit(mt_ref, o, d, tmin, tmax):
+def _any_hit(mt_ref, o, d, tmin, tmax, t_d=None, d_scalar: bool = False):
     """Occlusion sweep: True rows where any triangle blocks. [TILE_R]."""
     c = mt_ref.shape[0] // 4
     occ = None
     for r0 in range(0, c, CHUNK_T):
         rn = min(CHUNK_T, c - r0)
         valid, _, _, _, _ = _pair_terms(
-            mt_ref, o, d, tmin, tmax, False, False, r0=r0, rn=rn
+            mt_ref, o, d, tmin, tmax, False, False, r0=r0, rn=rn,
+            t_d=t_d, d_scalar=d_scalar,
         )
         part = jnp.max(valid.astype(jnp.float32), axis=0)
         occ = part if occ is None else jnp.maximum(occ, part)
     return occ > 0.5
 
 
-def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool):
+def _safe_inv(x):
+    """1/x with zeros nudged off the singularity (slab-test convention)."""
+    tiny = jnp.float32(1e-12)
+    return 1.0 / jnp.where(jnp.abs(x) < tiny, tiny, x)
+
+
+def _any_hit_clustered(
+    mt_ref, cl_ref, occ_ref, o, d, tmin, tmax, clusters,
+    t_d=None, d_scalar: bool = False,
+):
+    """Cluster-gated occlusion sweep (the FUSED_CLUSTERS experiment).
+
+    MEASURED NEGATIVE on v5e (Cornell 512x512, 16-sample dispatches):
+    FUSED_CLUSTERS=8/16/24 -> 63.8 / 69.7 / 74.2 Mrays/s vs 165.1 flat —
+    2.2-2.6x SLOWER at every granularity, same failure mode as the round-2
+    8-tri-cluster gating (RESULTS.md): ~18-45 pl.when branches per sample
+    force the occlusion accumulator into VMEM and flush vreg state, costing
+    far more than the 20-40%% of pair rows the gates skip. Together with
+    the earlier dead ends (per-8-tri gating 2.7x slower, blocked pixel
+    order 6%% slower) the conclusion is that BRANCH-BASED hierarchical
+    culling loses at brute-force scene sizes on this VPU — config-1 gains
+    past the ~165 Mrays/s sweep-op bound require fewer per-pair ops (done:
+    _t_rows sharing + d_scalar/o_scalar collapsing, 149.6 -> 165-167), not
+    skipped sweeps. Kept as an opt-in knob for re-testing on future
+    hardware/compilers.
+
+    clusters: static list of (r0, rn, k) row windows; cl_ref [K, 8] SMEM
+    carries each cluster's AABB (lo xyz, hi xyz). Per cluster: a per-lane
+    slab test against the ray's [tmin, tmax] window, reduced tile-wide —
+    pl.when skips the whole [rn, TILE_R] pair sweep when NO live lane can
+    reach the cluster. Occlusion state accumulates in the occ_ref scratch
+    row (pl.when bodies cannot carry vreg state); lanes already occluded
+    drop out of later gates. Conservative: gating never changes the result,
+    only skips work (cluster AABBs get a 1e-4 margin for grazing rays)."""
+    occ_ref[0, :] = jnp.zeros_like(occ_ref[0, :])
+    inv = tuple(_safe_inv(d[k]) for k in range(3))
+    hi_t = BIG if tmax is None else tmax
+    for r0, rn, k in clusters:
+        tn = tmin
+        tf = hi_t
+        for j in range(3):
+            lo_j = (cl_ref[k, j] - o[j]) * inv[j]
+            hi_j = (cl_ref[k, 3 + j] - o[j]) * inv[j]
+            tn = jnp.maximum(tn, jnp.minimum(lo_j, hi_j))
+            tf = jnp.minimum(tf, jnp.maximum(lo_j, hi_j))
+        live = (tn <= tf) & (occ_ref[0, :] < 0.5)
+
+        @pl.when(jnp.any(live))
+        def _sweep(r0=r0, rn=rn):
+            valid, _, _, _, _ = _pair_terms(
+                mt_ref, o, d, tmin, tmax, False, False, r0=r0, rn=rn,
+                t_d=t_d, d_scalar=d_scalar,
+            )
+            part = jnp.max(valid.astype(jnp.float32), axis=0)
+            occ_ref[0, :] = jnp.maximum(occ_ref[0, :], part)
+
+    return occ_ref[0, :] > 0.5
+
+
+def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool,
+                 t_d=None, o_terms=None):
     """Closest hit + fused attributes for one ray row set.
 
     Returns dict of [TILE_R] rows: hit (bool), t (miss -> -1), pos (3-tuple),
     normal (unit 3-tuple), and material rows via the one-hot MXU gather.
     Chunked version of intersect_pallas._closest_kernel: ascending-chunk
     merge with a strict '<' keeps the flat sweep's lowest-row tie-breaking.
+
+    o_terms: rank-0 scalar origin (the pinhole camera) used for the term
+    sweeps; `o` still supplies the [TILE_R] rows for the hit positions.
     """
     c = mt_ref.shape[0] // 4
     best_t = None
     for r0 in range(0, c, CHUNK_T):
         rn = min(CHUNK_T, c - r0)
         _, t_pair, us, vs, det_abs = _pair_terms(
-            mt_ref, o, d, tmin, tmax, cull, True, r0=r0, rn=rn
+            mt_ref, o_terms if o_terms is not None else o, d,
+            tmin, tmax, cull, True, r0=r0, rn=rn,
+            t_d=t_d, o_scalar=o_terms is not None,
         )
         k_t = jnp.min(t_pair, axis=0)
         rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
@@ -374,21 +471,39 @@ def _env_color(d, const_ref, env_kind: int):
     )
 
 
-def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active):
+def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
+                     t_d=None, clusters=None, cl_ref=None, occ_ref=None):
     """Direct term for both lights with shadow any-hit sweeps + the debug==2
     one-of-two MC estimator (integrator._direct_lighting parity).
 
+    t_d: shared _t_rows(mt_ref, pos) from the caller (both shadow sweeps
+    originate at `pos`; the caller's secondary closest sweeps share it too).
+    The directional-light sweep keeps its direction as rank-0 SMEM scalars,
+    collapsing its det and the db-halves of u_d/v_d to per-triangle columns.
+
     Returns 3-tuple of [TILE_R]."""
-    dl = tuple(const_ref[0, C_DLDIR + k] + 0.0 * pos[0] for k in range(3))
+    dl = tuple(const_ref[0, C_DLDIR + k] for k in range(3))  # rank-0
     # point light
     path = tuple(const_ref[0, C_PLPOS + k] - pos[k] for k in range(3))
     d2 = jnp.maximum(_dot3(path, path), 0.0)
     dist = jnp.sqrt(d2)
     lp, _ = _normalize3(path)
-    occ_d = _any_hit(mt_ref, pos, dl, RAY_EPSILON, None)
-    occ_p = _any_hit(
-        mt_ref, pos, lp, RAY_EPSILON, jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
-    )
+    if t_d is None:
+        t_d = _t_rows(mt_ref, pos)
+    tmax_p = jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
+    if clusters:
+        occ_d = _any_hit_clustered(
+            mt_ref, cl_ref, occ_ref, pos, dl, RAY_EPSILON, None, clusters,
+            t_d=t_d, d_scalar=True,
+        )
+        occ_p = _any_hit_clustered(
+            mt_ref, cl_ref, occ_ref, pos, lp, RAY_EPSILON, tmax_p, clusters,
+            t_d=t_d,
+        )
+    else:
+        occ_d = _any_hit(mt_ref, pos, dl, RAY_EPSILON, None, t_d=t_d,
+                         d_scalar=True)
+        occ_p = _any_hit(mt_ref, pos, lp, RAY_EPSILON, tmax_p, t_d=t_d)
     d_vis = jnp.where(active & ~occ_d, 1.0, 0.0)
     p_vis = jnp.where(active & ~occ_p, 1.0, 0.0)
     nol_d = _saturate(_dot3(normal, dl))
@@ -408,17 +523,22 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active):
 
 def _secondary_radiance(
     mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int,
-    realtime: bool = False,
+    realtime: bool = False, t_d=None, clusters=None, cl_ref=None,
+    occ_ref=None,
 ):
     """Depth-1 radiance: closest hit, direct lighting, emissive — specular
     and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
     parity; realtime mode omits the emissive term,
-    RealtimeRaytracing.hlsl:102). Returns 3-tuple [TILE_R]."""
-    h = _closest_hit(mt_ref, attr_ref, o, d, RAY_EPSILON, None, cull=False)
+    RealtimeRaytracing.hlsl:102). t_d: shared _t_rows for origin set `o`.
+    Returns 3-tuple [TILE_R]."""
+    h = _closest_hit(
+        mt_ref, attr_ref, o, d, RAY_EPSILON, None, cull=False, t_d=t_d
+    )
     hit = h["hit"] & active
     env = _env_color(d, const_ref, env_kind)
     direct = _direct_lighting(
-        mt_ref, const_ref, h["pos"], h["normal"], pick_draw, hit
+        mt_ref, const_ref, h["pos"], h["normal"], pick_draw, hit,
+        clusters=clusters, cl_ref=cl_ref, occ_ref=occ_ref,
     )
     at = h["at"]
     out = []
@@ -439,11 +559,13 @@ def _sanitize(x):
 def _fused_kernel(
     cam_ref,  # SMEM [S, 16]
     const_ref,  # SMEM [2, 16]
+    cl_ref,  # SMEM [K, 8] cluster AABBs (FUSED_CLUSTERS; [1, 8] dummy when off)
     mt_ref,  # VMEM [4*C, 16] (term-group-major Möller–Trumbore coefficients)
     attr_ref,  # VMEM [32, C]
     seed_ref,  # VMEM [1, 1, TILE_R] uint32 (TEA pixel seeds for this sample)
     out_ref,  # VMEM [8, TILE_R] (rows 0..2 = summed color)
     sec_ref,  # VMEM scratch [8, TILE_R]: rows 0-2 diffuse-, 3-5 spec-secondary
+    occ_ref,  # VMEM scratch [1, TILE_R]: cluster-gated occlusion accumulator
     *,
     width: int,
     height: int,
@@ -452,9 +574,19 @@ def _fused_kernel(
     block_w: int = 0,
     realtime: bool = False,
     full_height: int = 0,
+    cluster_rows: int = 0,
 ):
     i = pl.program_id(0)
     s = pl.program_id(1)
+    c_tris = mt_ref.shape[0] // 4
+    clusters = (
+        [
+            (r0, min(cluster_rows, c_tris - r0), k)
+            for k, r0 in enumerate(range(0, c_tris, cluster_rows))
+        ]
+        if cluster_rows and c_tris > cluster_rows
+        else None
+    )
 
     # ---- RayGen (primary_ray_grid parity) --------------------------------
     lane = jnp.max(
@@ -505,13 +637,25 @@ def _fused_kernel(
     cosine = const_ref[1, F_COSINE]
 
     # ---- primary closest hit (cull backfaces, ProgressiveRaytracing.hlsl:34)
-    h = _closest_hit(mt_ref, attr_ref, o, d, 0.0, None, cull=True)
+    # o_terms: the pinhole origin is lane-constant, so the primary sweep's
+    # t_d and moments collapse to per-triangle columns.
+    h = _closest_hit(
+        mt_ref, attr_ref, o, d, 0.0, None, cull=True,
+        o_terms=tuple(cam_ref[s, k] for k in range(3)),
+    )
     hit = h["hit"]
     pos, normal, at = h["pos"], h["normal"], h["at"]
     env_primary = _env_color(d, const_ref, env_kind)
 
+    # Shared origin-only t rows for EVERY sweep shooting from the primary
+    # hit points: both direct-shadow sweeps + both secondary closest sweeps.
+    t_d_pos = _t_rows(mt_ref, pos)
+
     # ---- direct lighting (draw u1 = MC light pick) ------------------------
-    direct = _direct_lighting(mt_ref, const_ref, pos, normal, u1, hit)
+    direct = _direct_lighting(
+        mt_ref, const_ref, pos, normal, u1, hit, t_d=t_d_pos,
+        clusters=clusters, cl_ref=cl_ref, occ_ref=occ_ref,
+    )
 
     # ---- indirect diffuse bounce direction (draws u1/u2 or u2/u3) ---------
     # (realtime mode traces no indirect diffuse, RealtimeRaytracing.hlsl —
@@ -567,7 +711,9 @@ def _fused_kernel(
         @pl.when(~no_ind)
         def _sec_diffuse():
             s3 = _secondary_radiance(
-                mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind
+                mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind,
+                t_d=t_d_pos, clusters=clusters, cl_ref=cl_ref,
+                occ_ref=occ_ref,
             )
             for k in range(3):
                 sec_ref[k, :] = s3[k]
@@ -581,7 +727,8 @@ def _fused_kernel(
     def _sec_spec():
         s3 = _secondary_radiance(
             mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active,
-            env_kind, realtime=realtime,
+            env_kind, realtime=realtime, t_d=t_d_pos, clusters=clusters,
+            cl_ref=cl_ref, occ_ref=occ_ref,
         )
         for k in range(3):
             sec_ref[3 + k, :] = s3[k]
@@ -771,8 +918,12 @@ def _pick_tile(c: int) -> int:
     return 4096 if c <= 64 else 1024
 
 
-def _env_knobs(c: int) -> tuple[int, int]:
-    """Read the FUSED_TILE / FUSED_BLOCK_W sweep knobs from the environment.
+def _env_knobs(c: int) -> tuple[int, int, int]:
+    """Read the FUSED_TILE / FUSED_BLOCK_W / FUSED_CLUSTERS sweep knobs from
+    the environment.
+
+    FUSED_CLUSTERS=N gates each N-triangle-row window of the occlusion
+    sweeps behind a tile-wide AABB slab test (_any_hit_clustered); 0 = off.
 
     Called from the UNJITTED wrappers only, so changes between calls reach
     the jit cache as static-arg changes instead of being silently ignored."""
@@ -780,7 +931,32 @@ def _env_knobs(c: int) -> tuple[int, int]:
 
     tile_r = int(os.environ.get("FUSED_TILE", "0")) or _pick_tile(c)
     block_w = int(os.environ.get("FUSED_BLOCK_W", "0"))
-    return tile_r, block_w
+    cluster_rows = int(os.environ.get("FUSED_CLUSTERS", "0"))
+    return tile_r, block_w, cluster_rows
+
+
+def _cluster_aabbs(scene: dict, cluster_rows: int) -> jnp.ndarray:
+    """Per-cluster AABBs [K, 8] (lo xyz, hi xyz, pad) over the padded
+    triangle rows, degenerate padding rows excluded, 1e-4 margin for
+    grazing rays. Constant-folds when the scene is baked as jit constants."""
+    v0, e1, e2 = scene["v0"], scene["e1"], scene["e2"]
+    c = v0.shape[0]
+    k_count = -(-c // cluster_rows)
+    pad = k_count * cluster_rows - c
+    deg = (jnp.sum(jnp.abs(e1), 1) + jnp.sum(jnp.abs(e2), 1)) == 0.0
+    p1, p2 = v0 + e1, v0 + e2
+    lo = jnp.minimum(jnp.minimum(v0, p1), p2)
+    hi = jnp.maximum(jnp.maximum(v0, p1), p2)
+    lo = jnp.where(deg[:, None], BIG, lo)
+    hi = jnp.where(deg[:, None], -BIG, hi)
+    if pad:
+        lo = jnp.concatenate([lo, jnp.full((pad, 3), BIG, jnp.float32)])
+        hi = jnp.concatenate([hi, jnp.full((pad, 3), -BIG, jnp.float32)])
+    lo = lo.reshape(k_count, cluster_rows, 3).min(axis=1) - 1e-4
+    hi = hi.reshape(k_count, cluster_rows, 3).max(axis=1) + 1e-4
+    return jnp.concatenate(
+        [lo, hi, jnp.zeros((k_count, 2), jnp.float32)], axis=1
+    )
 
 
 def _fused_dispatch(
@@ -796,6 +972,7 @@ def _fused_dispatch(
     block_w: int = 0,
     py0=None,
     full_height: int = 0,
+    cluster_rows: int = 0,
 ):
     """Shared host side of the megakernel: packs constants/cameras/seeds and
     launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
@@ -849,6 +1026,11 @@ def _fused_dispatch(
 
     cam_pack = pack_cameras(cameras, realtime, py0=py0)
     const_pack = pack_consts(scene, options, env_kind)
+    if cluster_rows and c > cluster_rows:
+        cl_pack = _cluster_aabbs(scene, cluster_rows)
+    else:
+        cluster_rows = 0
+        cl_pack = jnp.zeros((1, 8), jnp.float32)
 
     # --- TEA pixel seeds per sample (outside; LCG draws run in-kernel) ------
     if perm is not None:
@@ -871,9 +1053,11 @@ def _fused_dispatch(
             block_w=block_w,
             realtime=realtime,
             full_height=full_height,
+            cluster_rows=cluster_rows,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
@@ -892,11 +1076,15 @@ def _fused_dispatch(
         out_shape=jax.ShapeDtypeStruct(
             (16 if realtime else 8, r_pad), jnp.float32
         ),
-        scratch_shapes=[pltpu.VMEM((8, tile_r), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((8, tile_r), jnp.float32),
+            pltpu.VMEM((1, tile_r), jnp.float32),
+        ],
         interpret=interpret,
     )(
         cam_pack,
         const_pack,
+        cl_pack,
         scene["mt_pack"].reshape(4 * c, 16),
         scene["attr_pack"],
         seeds,
@@ -919,16 +1107,17 @@ def _unperm(rows: jnp.ndarray, inv) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height",
+        "full_height", "cluster_rows",
     ),
 )
 def _fused_progressive_sum_impl(
     scene, options, cameras, width, height, env_kind, interpret,
-    tile_r, block_w, py0=None, full_height=0,
+    tile_r, block_w, py0=None, full_height=0, cluster_rows=0,
 ):
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
+        cluster_rows=cluster_rows,
     )
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
@@ -948,10 +1137,10 @@ def fused_progressive_sum(
 
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
     image (multi-chip row sharding, parallel/render.py)."""
-    tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
+    tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r, block_w, py0, full_height,
+        tile_r, block_w, py0, full_height, cluster_rows,
     )
 
 
@@ -959,18 +1148,18 @@ def fused_progressive_sum(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height",
+        "full_height", "cluster_rows",
     ),
 )
 def _fused_realtime_outputs_impl(
     scene, options, camera, width, height, env_kind, interpret,
-    tile_r, block_w, py0=None, full_height=0,
+    tile_r, block_w, py0=None, full_height=0, cluster_rows=0,
 ):
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
-        py0=py0, full_height=full_height,
+        py0=py0, full_height=full_height, cluster_rows=cluster_rows,
     )
     def img3(r0):
         return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
@@ -999,8 +1188,8 @@ def fused_realtime_outputs(
     """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
     2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
     total, no indirect diffuse) returning the pipeline's AOV dict."""
-    tile_r, block_w = _env_knobs(int(scene["mt_pack"].shape[1]))
+    tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_realtime_outputs_impl(
         scene, options, camera, width, height, env_kind, interpret,
-        tile_r, block_w, py0, full_height,
+        tile_r, block_w, py0, full_height, cluster_rows,
     )

@@ -277,3 +277,16 @@ def test_fused_list_form_light_rig():
     got = fused_one(scene_list, opts, cam)
     want = fused_one(scene, opts, cam)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_fused_clustered_matches_flat(monkeypatch):
+    """FUSED_CLUSTERS gating is conservative: bit-identical to the flat
+    sweep (it may only SKIP provably-unreachable row windows). Measured
+    negative for speed on v5e (see _any_hit_clustered) but kept correct."""
+    scene = cornell()
+    options = default_options()
+    cam = cam_stack([7], jitters=[(0.001, -0.002)])[0]
+    flat = np.asarray(fused_one(scene, options, cam))
+    monkeypatch.setenv("FUSED_CLUSTERS", "16")
+    clustered = np.asarray(fused_one(scene, options, cam))
+    np.testing.assert_array_equal(clustered, flat)
