@@ -11,7 +11,9 @@ half-blocks (two pixels per character cell), input is raw-mode keyboard
 polling. Works over ssh, no GUI stack required; for screenshots press 'p'.
 
 Keys:
-  w/a/s/d/q/e  move      i/j/k/l   look        space  reset accumulation
+  w/a/s/d/q/e  move      i/j/k/l or arrows  look    space  reset accumulation
+  mouse drag   look (xterm SGR mouse reporting; works over ssh)
+  Alt-Enter    fullscreen toggle (fit-to-terminal <-> windowed size)
   [ / ]        switch pipeline (progressive <-> realtime+denoise)
   1..7         AOV debug view (off, albedo, direct, ind-diffuse,
                ind-specular, fresnel, AO)
@@ -110,29 +112,105 @@ class TerminalDisplay:
 
 
 class RawKeyboard:
-    """Non-blocking raw-mode key polling (GameInput analogue)."""
+    """Non-blocking raw-mode keyboard + mouse polling (GameInput analogue).
 
-    def __init__(self):
+    Beyond plain keys, parses the escape stream for:
+      * SGR mouse reports (xterm ?1002/?1006 — drag-to-look over ssh, the
+        terminal analogue of the reference's relative mouse-look,
+        /root/reference/libs/MiniEngine/GameInput.cpp:303-330): drags emit
+        ("mouse", dx, dy) cell-delta events.
+      * Arrow keys -> the i/j/k/l look taps.
+      * Alt-Enter -> "ALT_ENTER" (the reference's borderless-fullscreen
+        toggle, /root/reference/src/utils/Win32Application.cpp:98-173).
+    """
+
+    MOUSE_ON = "\x1b[?1002h\x1b[?1006h"
+    MOUSE_OFF = "\x1b[?1006l\x1b[?1002l"
+    _ARROWS = {"A": "i", "B": "k", "C": "l", "D": "j"}
+
+    def __init__(self, mouse: bool = True):
         self.enabled = sys.stdin.isatty()
+        self.mouse = mouse and self.enabled
         self._old = None
+        self._drag_from = None  # (x, y) of the last drag report
 
     def __enter__(self):
         if self.enabled:
             self._old = termios.tcgetattr(sys.stdin)
             tty.setcbreak(sys.stdin.fileno())
+        if self.mouse:
+            sys.stdout.write(self.MOUSE_ON)
+            sys.stdout.flush()
         return self
 
     def __exit__(self, *exc):
+        if self.mouse:
+            sys.stdout.write(self.MOUSE_OFF)
+            sys.stdout.flush()
         if self._old is not None:
             termios.tcsetattr(sys.stdin, termios.TCSADRAIN, self._old)
 
-    def poll(self) -> list[str]:
-        keys = []
-        if not self.enabled:
-            return keys
+    def _read_pending(self) -> str:
+        data = []
         while select.select([sys.stdin], [], [], 0)[0]:
-            keys.append(sys.stdin.read(1))
-        return keys
+            data.append(sys.stdin.read(1))
+        return "".join(data)
+
+    def parse(self, data: str) -> list:
+        """Escape-stream parser -> event list: plain key strings,
+        "ALT_ENTER", or ("mouse", dx, dy) drag deltas. Pure (testable)."""
+        events: list = []
+        i = 0
+        n = len(data)
+        while i < n:
+            ch = data[i]
+            if ch != "\x1b":
+                events.append(ch)
+                i += 1
+                continue
+            # escape sequence
+            if i + 1 < n and data[i + 1] in ("\r", "\n"):
+                events.append("ALT_ENTER")
+                i += 2
+                continue
+            if i + 2 < n and data[i + 1] == "[":
+                c2 = data[i + 2]
+                if c2 in self._ARROWS:
+                    events.append(self._ARROWS[c2])
+                    i += 3
+                    continue
+                if c2 == "<":  # SGR mouse: ESC [ < b ; x ; y (M|m)
+                    j = i + 3
+                    while j < n and data[j] not in "Mm":
+                        j += 1
+                    if j >= n:
+                        break  # truncated; drop
+                    try:
+                        b, x, y = (int(v) for v in data[i + 3 : j].split(";"))
+                    except ValueError:
+                        i = j + 1
+                        continue
+                    press = data[j] == "M"
+                    if b & 32 and self._drag_from is not None:
+                        # motion with button held: emit the cell delta
+                        dx = x - self._drag_from[0]
+                        dy = y - self._drag_from[1]
+                        if dx or dy:
+                            events.append(("mouse", dx, dy))
+                        self._drag_from = (x, y)
+                    elif press and (b & 3) != 3:
+                        self._drag_from = (x, y)
+                    else:  # release
+                        self._drag_from = None
+                    i = j + 1
+                    continue
+            i += 1  # bare ESC or unknown sequence: skip
+        return events
+
+    def poll(self) -> list:
+        if not self.enabled:
+            return []
+        return self.parse(self._read_pending())
 
 
 class ViewerApp:
@@ -143,7 +221,10 @@ class ViewerApp:
         self.scene, self.camera = build_scene(scene_name)
         self.camera.set_aspect(width, height)
         self.width, self.height = width, height
+        self.windowed_size = (width, height)
+        self.fit_terminal = False  # main() sets the launch mode
         self.controller = CameraController(self.camera)
+        self.controller.first_person_mouse = True  # drag-to-look
         self.timer = StepTimer()
         self.stats = FrameStats(width, height)
         self.animate_instances = animate_instances
@@ -184,12 +265,28 @@ class ViewerApp:
     def pipeline(self):
         return self.pipelines[self.active]
 
-    def handle_keys(self, keys: list[str]) -> tuple[InputState, bool]:
+    # radians per terminal cell of mouse drag (drag-to-look)
+    MOUSE_CELL_SCALE = 0.03
+
+    def handle_keys(self, keys: list) -> tuple[InputState, bool]:
         inp = InputState()
         quit_requested = False
         pipe = self.pipeline
         for k in keys:
-            if k == "x":
+            if isinstance(k, tuple) and k[0] == "mouse":
+                # drag-to-look: cell deltas -> first-person mouse radians
+                # (bypasses momentum, CameraController.cpp:96-101)
+                inp.mouse_dx += k[1] * self.MOUSE_CELL_SCALE
+                inp.mouse_dy += -k[2] * self.MOUSE_CELL_SCALE
+            elif k == "ALT_ENTER":
+                # borderless-fullscreen analogue: toggle fit-to-terminal
+                # (Win32Application.cpp:98-173)
+                self.fit_terminal = not self.fit_terminal
+                self.message = (
+                    "fullscreen (fit terminal)" if self.fit_terminal
+                    else "windowed"
+                )
+            elif k == "x":
                 quit_requested = True
             elif k == "w":
                 inp.forward = True
@@ -456,28 +553,37 @@ def main(argv=None) -> int:
 
     app = ViewerApp(args.scene, width, height, accel=args.accel,
                     animate_instances=args.animate_instances)
+    app.fit_terminal = args.size is None
     scripted = list(args.script.replace(" ", "")) if args.script else None
 
+    use_alt_screen = sys.stdout.isatty()
+    if use_alt_screen:
+        sys.stdout.write("\x1b[?1049h")  # alternate screen buffer
     sys.stdout.write("\x1b[2J")  # clear
     frames = 0
-    fit_terminal = args.size is None
-    with RawKeyboard() as kb:
-        while True:
-            if fit_terminal:
-                # live resize: re-create outputs when the terminal changes
-                # (WM_SIZE parity, DXRExperimentsApp.cpp:257-271)
-                w, h = display.size()
-                w, h = min(w, 200), min(h - h % 2, 140)
-                app.resize(w, h)
-            keys = kb.poll() if scripted is None else ([scripted.pop(0)] if scripted else ["x"])
-            inp, quit_requested = app.handle_keys(keys)
-            if quit_requested:
-                break
-            img = app.step(inp)
-            display.present(img, app.hud())
-            frames += 1
-            if args.max_frames and frames >= args.max_frames:
-                break
+    try:
+        with RawKeyboard() as kb:
+            while True:
+                if app.fit_terminal:
+                    # live resize: re-create outputs when the terminal changes
+                    # (WM_SIZE parity, DXRExperimentsApp.cpp:257-271)
+                    w, h = display.size()
+                    w, h = min(w, 200), min(h - h % 2, 140)
+                    app.resize(w, h)
+                else:
+                    app.resize(*app.windowed_size)
+                keys = kb.poll() if scripted is None else ([scripted.pop(0)] if scripted else ["x"])
+                inp, quit_requested = app.handle_keys(keys)
+                if quit_requested:
+                    break
+                img = app.step(inp)
+                display.present(img, app.hud())
+                frames += 1
+                if args.max_frames and frames >= args.max_frames:
+                    break
+    finally:
+        if use_alt_screen:
+            sys.stdout.write("\x1b[?1049l")  # restore the main screen
     sys.stdout.write("\n")
     print(f"viewer exited after {frames} frames; {app.stats.title()}")
     return 0

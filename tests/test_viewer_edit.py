@@ -119,3 +119,39 @@ def test_viewer_two_level_animate_steps():
     app.handle_keys(["]"])
     img3 = app.step(InputState())
     assert img3.shape == (32, 32, 3)
+
+
+def test_input_parser_mouse_and_escapes():
+    """RawKeyboard.parse: SGR mouse drags -> cell deltas; arrows -> look
+    taps; Alt-Enter -> fullscreen toggle event; plain keys pass through."""
+    from dxrexperiments_tpu.app.viewer import RawKeyboard
+
+    kb = RawKeyboard.__new__(RawKeyboard)  # skip tty setup
+    kb._drag_from = None
+    # press at (10,5), drag to (13,4), release
+    ev = kb.parse("\x1b[<0;10;5M" "\x1b[<32;13;4M" "\x1b[<0;13;4m")
+    assert ("mouse", 3, -1) in ev
+    assert kb._drag_from is None  # released
+    # motion without a press is ignored
+    assert kb.parse("\x1b[<35;4;4M") == []
+    # arrows map to look taps; alt-enter and plain keys pass through
+    assert kb.parse("\x1b[A\x1b[D") == ["i", "j"]
+    assert kb.parse("\x1b\rw") == ["ALT_ENTER", "w"]
+
+
+def test_mouse_drag_turns_camera():
+    app = make_app()
+    cam_fwd = np.array(app.camera.forward)
+    inp, _ = app.handle_keys([("mouse", 8, 0)])
+    assert inp.mouse_dx != 0.0
+    app.step(inp)
+    assert not np.allclose(cam_fwd, np.array(app.camera.forward))
+
+
+def test_alt_enter_toggles_fullscreen():
+    app = make_app()
+    before = app.fit_terminal
+    app.handle_keys(["ALT_ENTER"])
+    assert app.fit_terminal is (not before)
+    app.handle_keys(["ALT_ENTER"])
+    assert app.fit_terminal is before
