@@ -83,6 +83,45 @@ def build_scene(name: str) -> tuple[Scene, Camera]:
             (0.0, 1.0, 0.0),
         )
         return sc, cam
+    if name == "config2":
+        # BASELINE config 2 AS WRITTEN: multi-mesh Assimp-format scene
+        # (susanne OBJ + ground FBX), geometry TEXTURES, and an area light
+        # with soft shadows, under the reference's cathedral radiance
+        # cubemap. Asset paths follow the reference repo
+        # (/root/reference/src/DXRExperimentsApp.cpp:86-92).
+        from ..scene.lights import area_light
+        from ..scene.textures import checker_texture, planar_uvs
+        from ..utils.dds import load_cubemap
+
+        ref = "/root/reference/assets"
+        sus = load_mesh(f"{ref}/models/susanne.obj")
+        gnd = load_mesh(f"{ref}/models/ground.fbx")
+        planar_uvs(gnd, scale=40.0)
+        glossy = sc.add_material(Material.reference_default())
+        floor = sc.add_material(Material(
+            albedo=(0.85, 0.85, 0.85, 1.0), roughness=0.9,
+            albedo_texture=checker_texture(
+                16, (1.0, 1.0, 1.0), (0.45, 0.42, 0.38), size=128
+            ),
+        ))
+        t = np.eye(4, dtype=np.float32)
+        t[:3, :3] *= 4.0
+        t[1, 3] = 4.2
+        sc.add_model(sus, transform=t, material=glossy)
+        sc.add_model(gnd, material=floor)
+        sc.lights = {
+            "dir": [directional_light((0.3, -0.75, -0.6), (1.0, 0.96, 0.9, 1.2))],
+            "point": [],
+            "area": [area_light(
+                (-6.0, 14.0, 6.0), (4.0, 0, 0), (0, 0, -4.0),
+                (1.0, 0.95, 0.85, 3.0),
+            )],
+        }
+        sc.environment = envmap.cubemap_env(
+            load_cubemap(f"{ref}/textures/CathedralRadiance.dds")
+        )
+        cam.set_eye_at_up((8.0, 7.0, 16.0), (0.0, 4.0, 0.0), (0.0, 1.0, 0.0))
+        return sc, cam
     if name in ("cornell", "cornell-glossy", "cornell-tex"):
         mesh, materials = cornell_box(
             glossy_tall_box=(name == "cornell-glossy"),

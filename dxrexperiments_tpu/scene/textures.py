@@ -109,6 +109,18 @@ def checker_texture(n: int = 8, c0=(1.0, 1.0, 1.0), c1=(0.2, 0.2, 0.2),
     return np.where(cell[..., None] == 0, c0, c1).astype(np.float32)
 
 
+def planar_uvs(mesh, scale: float = 1.0, axes=(0, 2)) -> None:
+    """Assign planar per-corner UVs from two position axes (default XZ —
+    ground planes). For meshes imported without texture coordinates
+    (e.g. the reference's ground.fbx); uv = position[axes] / scale, WRAP
+    addressing tiles the texture."""
+    tri = mesh.indices
+    corners = mesh.positions[tri]  # [F, 3, 3]
+    mesh.uv_corners = (
+        corners[..., list(axes)] / np.float32(scale)
+    ).astype(np.float32)
+
+
 def load_texture_image(path: str) -> np.ndarray | None:
     """Best-effort image load for MTL map_Kd: Radiance .hdr (native
     decoder), binary PPM (P6), .npy. Returns float32 [H, W, 3] linear, or
