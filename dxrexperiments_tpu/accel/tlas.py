@@ -306,11 +306,16 @@ def _refit_device(
     rot = tf[:, :3, :3]
     trans = tf[:, :3, 3]
     a = jnp.linalg.inv(rot)  # [I, 3, 3]
-    b = -jnp.einsum("ikj,ij->ik", a, trans)
+    # HIGHEST: default-precision contractions run bf16 on the MXU; these
+    # inverse/offset rows feed every two-level traversal's ray transforms,
+    # so bf16 here would inject ~1e-3 relative error into all hit t's.
+    b = -jnp.einsum("ikj,ij->ik", a, trans,
+                    precision=jax.lax.Precision.HIGHEST)
     nm = jnp.transpose(a, (0, 2, 1))  # normal matrix = inv(R)^T
 
     corners = _aabb_corners(slot_mesh_lo, slot_mesh_hi, jnp)
-    world = jnp.einsum("ikj,icj->ick", rot, corners) + trans[:, None, :]
+    world = jnp.einsum("ikj,icj->ick", rot, corners,
+                       precision=jax.lax.Precision.HIGHEST) + trans[:, None, :]
     lo_w = world.min(axis=1)
     hi_w = world.max(axis=1)
 
@@ -454,8 +459,12 @@ def two_level_closest_jnp(scene: dict, origins, directions, t_min, t_max,
     for slot in range(meta["num_instances"]):
         a = tl["inst_rows"][0:9, slot].reshape(3, 3)
         b = tl["inst_rows"][9:12, slot]
-        o2 = origins @ a.T + b
-        d2 = directions @ a.T
+        # HIGHEST: a default-precision @ is bf16 on the MXU — this is the
+        # parity ORACLE, and bf16 transforms put ~1e-3 relative error on
+        # every object-space t (found via the kernel-parity gate's median).
+        hp = jax.lax.Precision.HIGHEST
+        o2 = jnp.matmul(origins, a.T, precision=hp) + b
+        d2 = jnp.matmul(directions, a.T, precision=hp)
         lo_t, hi_t = meta["mesh_tri_ranges"][meta["slot_mesh"][slot]]
         sub = {
             k: scene[f"{k}_obj"][lo_t:hi_t]
@@ -492,8 +501,9 @@ def two_level_any_jnp(scene: dict, origins, directions, t_min, t_max):
     for slot in range(meta["num_instances"]):
         a = tl["inst_rows"][0:9, slot].reshape(3, 3)
         b = tl["inst_rows"][9:12, slot]
-        o2 = origins @ a.T + b
-        d2 = directions @ a.T
+        hp = jax.lax.Precision.HIGHEST
+        o2 = jnp.matmul(origins, a.T, precision=hp) + b
+        d2 = jnp.matmul(directions, a.T, precision=hp)
         lo_t, hi_t = meta["mesh_tri_ranges"][meta["slot_mesh"][slot]]
         sub = {
             k: scene[f"{k}_obj"][lo_t:hi_t]

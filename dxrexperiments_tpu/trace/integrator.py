@@ -332,7 +332,10 @@ def _interpolate_hit_two_level(scene: dict, hits: dict, origins, directions):
         + v[..., None] * scene["n2_obj"][tri]
     )
     nm = scene["tlas"]["inst_nm"][inst]  # [N, 3, 3]
-    normal = vm.normalize(jnp.einsum("nij,nj->ni", nm, n_obj))
+    # HIGHEST: default-precision einsum is bf16 on the MXU; normals feed
+    # shading directly, and the Pallas paths compute them at full f32.
+    normal = vm.normalize(jnp.einsum(
+        "nij,nj->ni", nm, n_obj, precision=jax.lax.Precision.HIGHEST))
     position = origins + hits["t"][..., None] * directions
     override = scene["tlas"]["inst_mat_override"][inst]
     mid = jnp.where(override >= 0, override, scene["mat_id_obj"][tri])
