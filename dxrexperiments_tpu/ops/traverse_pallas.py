@@ -424,7 +424,8 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
     return kernel
 
 
-def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
+def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool,
+                              leaf_bestt: bool = True, half_gate: int = 0):
     """Fat-node packet traversal: each visit tests BOTH children's AABBs
     (their boxes live in the parent row, see fat_nodes), enqueues leaf
     children into the double-buffered DMA pipeline, and pushes internal
@@ -432,10 +433,22 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
     in the slab test, near-first descent turns the clamp into real pruning:
     once close hits land, far subtrees fail `tn <= tf` wholesale. Halves
     scalar while-loop trips vs the binary kernel (one visit per pair) on
-    top of the ordering win."""
+    top of the ordering win.
+
+    leaf_bestt (closest only): clamp each leaf pair test's t window by the
+    RUNNING best t and gate the whole winner-selection epilogue (divide +
+    row-select, ~1/3 of per-pair ops) behind `any(valid)` — with
+    front-to-back descent most later leaves improve nothing, so the
+    epilogue amortizes away. Bit-identical results (strict '<' everywhere).
+
+    half_gate (0/2/4): re-test the leaf's AABB per lane at PROCESS time
+    (box stashed in SMEM at enqueue) and skip each TILE/half_gate lane
+    sub-block whose lanes all miss the leaf (or are already resolved) —
+    packet-union waste recovered at sub-tile granularity. For occlusion the
+    live test also drops lanes already occluded."""
 
     def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, pend_ref,
-               mt_scratch, sem):
+               box_ref, mt_scratch, sem):
         o = [rays_ref[k, :][None, :] for k in range(3)]
         d = [rays_ref[3 + k, :][None, :] for k in range(3)]
         mom = [
@@ -453,16 +466,27 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
         out_ref[0, :] = jnp.full((out_ref.shape[1],), BIG, jnp.float32)
         stack_ref[0] = 0
 
-        def process_slot(slot):
-            start = pend_ref[2 * slot]
-            count = pend_ref[2 * slot + 1]
-            valid, ts, det_abs, us, vs = _leaf_pair_test(
-                mt_scratch.at[slot], o, d, mom, tmin, tmax, cull, count, K
-            )
+        def run_lanes(slot, start, count, sub):
+            """Pair-test + merge for one static lane slice of the tile."""
+            osub = [x[:, sub] for x in o]
+            dsub = [x[:, sub] for x in d]
+            msub = [x[:, sub] for x in mom]
             if occlusion:
+                valid, _, _, _, _ = _leaf_pair_test(
+                    mt_scratch.at[slot], osub, dsub, msub,
+                    tmin[sub], tmax[sub], cull, count, K
+                )
                 occ = jnp.max(valid.astype(jnp.float32), axis=0)
-                out_ref[4, :] = jnp.maximum(out_ref[4, :], occ)
-            else:
+                out_ref[4, sub] = jnp.maximum(out_ref[4, sub], occ)
+                return
+            best = out_ref[0, sub]
+            tx = jnp.minimum(tmax[sub], best) if leaf_bestt else tmax[sub]
+            valid, ts, det_abs, us, vs = _leaf_pair_test(
+                mt_scratch.at[slot], osub, dsub, msub,
+                tmin[sub], tx, cull, count, K
+            )
+
+            def merge():
                 eps = jnp.float32(1e-12)
                 t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
                 c_t = jnp.min(t_pair, axis=0)
@@ -476,18 +500,56 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
                 c_u = jnp.sum(us * sel, axis=0) * inv_det
                 c_v = jnp.sum(vs * sel, axis=0) * inv_det
                 c_slot = (c_row + start).astype(jnp.float32)
-                better = c_t < out_ref[0, :]
-                out_ref[0, :] = jnp.where(better, c_t, out_ref[0, :])
-                out_ref[1, :] = jnp.where(better, c_slot, out_ref[1, :])
-                out_ref[2, :] = jnp.where(better, c_u, out_ref[2, :])
-                out_ref[3, :] = jnp.where(better, c_v, out_ref[3, :])
+                better = c_t < out_ref[0, sub]
+                out_ref[0, sub] = jnp.where(better, c_t, out_ref[0, sub])
+                out_ref[1, sub] = jnp.where(better, c_slot, out_ref[1, sub])
+                out_ref[2, sub] = jnp.where(better, c_u, out_ref[2, sub])
+                out_ref[3, sub] = jnp.where(better, c_v, out_ref[3, sub])
 
-        def enqueue(ptr, meta, q):
+            if leaf_bestt:
+                @pl.when(jnp.any(valid))
+                def _merge():
+                    merge()
+            else:
+                merge()
+
+        def process_slot(slot):
+            start = pend_ref[2 * slot]
+            count = pend_ref[2 * slot + 1]
+            if half_gate <= 1:
+                run_lanes(slot, start, count, slice(None))
+                return
+            # leaf slab re-test at process time: lanes that miss the box
+            # (or whose best t / occlusion state already resolves them)
+            # are dead for this leaf; skip whole lane sub-blocks of dead.
+            tn = tmin[None, :]
+            if occlusion:
+                tf = jnp.where(out_ref[4, :] > 0.5, -BIG, tmax)[None, :]
+            else:
+                tf = jnp.minimum(tmax, out_ref[0, :])[None, :]
+            for k in range(3):
+                t0 = (box_ref[slot, k] - o[k]) * inv[k]
+                t1 = (box_ref[slot, 3 + k] - o[k]) * inv[k]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            live = (tn <= tf)[0]
+            w = live.shape[0] // half_gate
+            for h in range(half_gate):
+                sub = slice(h * w, (h + 1) * w)
+
+                @pl.when(jnp.any(live[sub]))
+                def _run(sub=sub):
+                    run_lanes(slot, start, count, sub)
+
+        def enqueue(ptr, meta, q, box):
             start = ptr.astype(jnp.int32)
             count = meta.astype(jnp.int32)
             slot = q % 2
             pend_ref[2 * slot] = start
             pend_ref[2 * slot + 1] = count
+            if half_gate > 1:
+                for k in range(6):
+                    box_ref[slot, k] = box[k]
             row_start = pl.multiple_of(start, 8)
             pltpu.make_async_copy(
                 mt_hbm.at[pl.ds(row_start, K), :],
@@ -546,13 +608,13 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool):
 
             @pl.when(leaf0)
             def _leaf0():
-                enqueue(ptr0, m0, q)
+                enqueue(ptr0, m0, q, [f[k] for k in range(6)])
 
             q = q + jnp.where(leaf0, 1, 0)
 
             @pl.when(leaf1)
             def _leaf1():
-                enqueue(ptr1, m1, q)
+                enqueue(ptr1, m1, q, [f[6 + k] for k in range(6)])
 
             q = q + jnp.where(leaf1, 1, 0)
 
@@ -847,9 +909,11 @@ def traverse_closest(
 
 
 def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
-              tile: int = TILE_R):
+              tile: int = TILE_R, leaf_bestt: bool = True,
+              half_gate: int = 0):
     return pl.pallas_call(
-        _make_traverse_fat_kernel(leaf_size, cull, occlusion),
+        _make_traverse_fat_kernel(leaf_size, cull, occlusion,
+                                  leaf_bestt=leaf_bestt, half_gate=half_gate),
         grid=(r_pad // tile,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -863,6 +927,7 @@ def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
+            pltpu.SMEM((2, 8), jnp.float32),  # pending-leaf AABBs (half_gate)
             pltpu.VMEM((2, leaf_size, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -872,7 +937,8 @@ def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("leaf_size", "cull_backface", "interpret", "tile"),
+    static_argnames=("leaf_size", "cull_backface", "interpret", "tile",
+                     "leaf_bestt", "half_gate"),
 )
 def traverse_fat_closest(
     bvh: dict,
@@ -884,6 +950,8 @@ def traverse_fat_closest(
     cull_backface: bool = False,
     interpret: bool = False,
     tile: int = TILE_R,
+    leaf_bestt: bool = True,
+    half_gate: int = 0,
 ) -> dict:
     """Closest hit via fat-node front-to-back packet traversal.
 
@@ -891,7 +959,8 @@ def traverse_fat_closest(
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
     out = _call_fat(bvh, rays, r_pad, leaf_size, cull_backface, False,
-                    interpret, tile)
+                    interpret, tile, leaf_bestt=leaf_bestt,
+                    half_gate=half_gate)
     out = out[:, :r]
     hit = out[4] > 0.5
     slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)
@@ -907,7 +976,7 @@ def traverse_fat_closest(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_size", "interpret", "tile")
+    jax.jit, static_argnames=("leaf_size", "interpret", "tile", "half_gate")
 )
 def traverse_fat_any(
     bvh: dict,
@@ -918,11 +987,13 @@ def traverse_fat_any(
     leaf_size: int = 16,
     interpret: bool = False,
     tile: int = TILE_R,
+    half_gate: int = 0,
 ) -> jnp.ndarray:
     """Occlusion via fat-node packet traversal with all-occluded early exit."""
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
-    out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret, tile)
+    out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret, tile,
+                    half_gate=half_gate)
     return out[4, :r] > 0.5
 
 

@@ -140,3 +140,33 @@ def test_fat_nodes_root_leaf():
         packed, o, d, t_min=1e-4, leaf_size=16, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(got["hit"]), np.asarray(ref["hit"]))
+
+
+@pytest.mark.parametrize("lb,hg", [(True, 0), (False, 2), (True, 2), (True, 4)])
+def test_fat_variant_flags_agree(lb, hg):
+    """leaf_bestt (best-t leaf clamp + gated epilogue) and half_gate
+    (sub-tile lane gating off SMEM-stashed leaf AABBs) are pure-pruning
+    variants: hit-for-hit identical to the flat kernel."""
+    mesh = random_triangle_soup(2000, seed=4, extent=10.0)
+    data, packed = build(mesh, leaf_size=16)
+    o, d = rays_for("soup", 512, seed=5)
+    base = traverse_pallas.traverse_fat_closest(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        leaf_bestt=False, half_gate=0,
+    )
+    var = traverse_pallas.traverse_fat_closest(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        leaf_bestt=lb, half_gate=hg,
+    )
+    for k in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(var[k]), atol=0, err_msg=k
+        )
+    base_any = traverse_pallas.traverse_fat_any(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+    )
+    var_any = traverse_pallas.traverse_fat_any(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        half_gate=hg,
+    )
+    np.testing.assert_array_equal(np.asarray(base_any), np.asarray(var_any))
