@@ -117,12 +117,19 @@ def _make_ft_kernel(
     resident: bool = False,
     smem_nodes: bool = False,
     full_height: int = 0,
+    env_deferred: bool = False,
 ):
     """resident: triangle rows live wholly in VMEM (mid-size scenes) — leaf
     visits slice them directly, no DMA machinery at all. smem_nodes: fat
     nodes live in SMEM — node fields are 16 scalar reads instead of a
     [16,128] vector load + masked reduce (the per-visit vector-unit cost
-    of the HBM kernel's node fetch, measured ~45%% of visit work)."""
+    of the HBM kernel's node fetch, measured ~45%% of visit work).
+
+    env_deferred (progressive only): texture env kinds (latlong/cubemap)
+    need gathers that don't lower in Mosaic — the kernel computes zero env
+    radiance and instead emits bounce directions + per-channel env weights
+    (out rows 3-15); the host resolves env outside and combines."""
+    assert not (realtime and env_deferred)
 
     def kernel(
         cam_ref,  # SMEM [S, 16]
@@ -528,23 +535,31 @@ def _make_ft_kernel(
 
         def secondary_radiance(o, d, pick_draw, active):
             """Depth-1 radiance (fused_sample_pallas._secondary_radiance
-            parity; realtime omits the emissive term)."""
+            parity; realtime omits the emissive term).
+
+            env_deferred: miss lanes contribute 0 here; the second return
+            value is the env mask (active miss lanes) — the host resolves
+            env(d) outside the kernel (texture env kinds need gathers that
+            don't lower in Mosaic) and adds weight * env per lane."""
             tmax = jnp.where(active, RAY_FAR, 0.0)
             s_hit, _t, s_pos, s_normal, s_mat = t_closest(
                 o, d, eps_row, tmax, cull=False
             )
             s_hit = s_hit & active
-            env = env_color(d)
+            env = None if env_deferred else env_color(d)
             direct = direct_lighting(s_pos, s_normal, pick_draw, s_hit)
             out = []
             for k in range(3):
                 shade = s_mat[MP_ALBEDO + k] * direct[k] / M_PI
                 if not realtime:
                     shade = s_mat[MP_EMISSIVE + k] * s_mat[MP_ESTR] + shade
-                out.append(
-                    jnp.where(s_hit, shade, jnp.where(active, env[k], 0.0))
-                )
-            return tuple(out)
+                if env_deferred:
+                    out.append(jnp.where(s_hit, shade, 0.0))
+                else:
+                    out.append(
+                        jnp.where(s_hit, shade, jnp.where(active, env[k], 0.0))
+                    )
+            return tuple(out), (active & ~s_hit if env_deferred else None)
 
         # ---- RayGen (fused_sample_pallas._fused_kernel parity) -------------
         lane = jnp.max(
@@ -592,7 +607,10 @@ def _make_ft_kernel(
         hit, _t, pos, normal, mat = t_closest(
             o, d, jnp.zeros((tile_r,), jnp.float32), tmax_prim, cull=True
         )
-        env_primary = env_color(d)
+        # env_deferred: the host recomputes the primary directions with
+        # primary_ray_grid (bit-identical to the jnp oracle) and substitutes
+        # env on miss lanes itself — no in-kernel primary env at all.
+        env_primary = None if env_deferred else env_color(d)
 
         # ---- direct lighting (draw u1 = MC light pick) ----------------------
         direct = direct_lighting(pos, normal, u1, hit)
@@ -642,25 +660,33 @@ def _make_ft_kernel(
         if not realtime:
             @pl.when(~no_ind)
             def _sec_diffuse():
-                s3 = secondary_radiance(pos, diff_dir, u1, hit)
+                s3, emask = secondary_radiance(pos, diff_dir, u1, hit)
                 for k in range(3):
                     sec_ref[k, :] = s3[k]
+                if env_deferred:
+                    sec_ref[6, :] = emask.astype(jnp.float32)
 
             @pl.when(no_ind)
             def _sec_diffuse_zero():
                 for k in range(3):
                     sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+                if env_deferred:
+                    sec_ref[6, :] = jnp.zeros_like(sec_ref[6, :])
 
         @pl.when(spec_any)
         def _sec_spec():
-            s3 = secondary_radiance(pos, phong_dir, u1, spec_active)
+            s3, emask = secondary_radiance(pos, phong_dir, u1, spec_active)
             for k in range(3):
                 sec_ref[3 + k, :] = s3[k]
+            if env_deferred:
+                sec_ref[7, :] = emask.astype(jnp.float32)
 
         @pl.when(~spec_any)
         def _sec_spec_zero():
             for k in range(3):
                 sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
+            if env_deferred:
+                sec_ref[7, :] = jnp.zeros_like(sec_ref[7, :])
 
         spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
 
@@ -709,6 +735,8 @@ def _make_ft_kernel(
         show_fresnel = const_ref[1, F_SHOW_FRESNEL] > 0.5
         show_ispec = const_ref[1, F_SHOW_IND_SPEC] > 0.5
         show_idiff = const_ref[1, F_SHOW_IND_DIFF] > 0.5
+        wd = []
+        ws = []
         for k in range(3):
             specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
             f0 = mat[MP_SPECULAR + k]
@@ -723,8 +751,41 @@ def _make_ft_kernel(
             c = jnp.where(show_fresnel, fresnel, c)
             c = jnp.where(show_ispec, refl * specular * fresnel, c)
             c = jnp.where(show_idiff, albedo * indirect[k] / M_PI, c)
-            c = jnp.where(hit, c, env_primary[k])
+            if env_deferred:
+                # env-dependent terms resolve OUTSIDE the kernel; per-lane
+                # env weights follow the same mode selection as the color:
+                #   diffuse env: color += albedo * (sec_env * factor) / pi
+                #   specular env: color += refl * (sec_env * ratio) * fresnel
+                dmask = sec_ref[6, :]
+                smask = sec_ref[7, :]
+                ind_factor = jnp.where(cosine > 0.5, M_PI, nol * TWO_PI)
+                wd_on = ~(show_direct | show_albedo | show_fresnel | show_ispec)
+                ws_on = ~(show_direct | show_albedo | show_fresnel | show_idiff)
+                wd.append(_sanitize(jnp.where(
+                    wd_on & ~no_ind,
+                    albedo * ind_factor / M_PI * dmask, 0.0,
+                )))
+                ws.append(_sanitize(jnp.where(
+                    ws_on, refl * ratio * fresnel * smask, 0.0
+                )))
+                c = jnp.where(hit, c, 0.0)
+            else:
+                c = jnp.where(hit, c, env_primary[k])
             color.append(_sanitize(c))
+
+        if env_deferred:
+            # S must be 1 (asserted in _ft_dispatch): rows written directly.
+            # Layout: 0-2 color (env-free), 3 hit, 4-6 diffuse bounce dir,
+            # 7-9 its per-channel env weight, 10-12 specular bounce dir,
+            # 13-15 its weight. Host adds weight * env(dir) + primary env.
+            for k in range(3):
+                out_ref[k, :] = color[k]
+                out_ref[4 + k, :] = diff_dir[k]
+                out_ref[7 + k, :] = wd[k]
+                out_ref[10 + k, :] = phong_dir[k]
+                out_ref[13 + k, :] = ws[k]
+            out_ref[3, :] = hit.astype(jnp.float32)
+            return
 
         @pl.when(s == 0)
         def _init():
@@ -755,7 +816,14 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     if int(scene["materials"]["albedo"].shape[0]) > MP_MAX_MATERIALS:
         return False
-    return int(scene["env"]["kind"]) in (0, 1)
+    kind = int(scene["env"]["kind"])
+    if kind in (2, 3):
+        # Texture env (latlong/cubemap): progressive runs the kernel in
+        # env_deferred mode — bounce dirs + weights out, env resolved with
+        # XLA gathers outside (one sample per launch). Realtime keeps the
+        # wavefront path for these.
+        return mode == "progressive"
+    return kind in (0, 1)
 
 
 def _ft_knobs() -> tuple[int, int]:
@@ -782,9 +850,14 @@ def _ft_dispatch(
     block_w: int = 32,
     py0=None,
     full_height: int = 0,
+    env_deferred: bool = False,
 ):
     """Host side: packs constants/cameras/seeds/materials and launches the
     fused traversal kernel over (tiles, samples). Returns (out rows, inv).
+
+    env_deferred (progressive, S=1): texture env kinds — the kernel skips
+    every env term and returns bounce dirs + per-channel env weights in
+    rows 3-15; the caller resolves env with XLA gathers and combines.
 
     py0/full_height: row-sharded launch renders rows [py0, py0+height) of a
     full_height image with global NDC + seeds (parallel/render.py)."""
@@ -792,6 +865,8 @@ def _ft_dispatch(
 
     bvh = scene["bvh"]
     s_count = int(cameras["frame_count"].shape[0])
+    if env_deferred:
+        assert s_count == 1, "env_deferred renders one sample per launch"
     n = width * height
     r_pad = -(-n // tile_r) * tile_r
 
@@ -865,6 +940,7 @@ def _ft_dispatch(
             resident=resident,
             smem_nodes=smem_nodes,
             full_height=full_height,
+            env_deferred=env_deferred,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -882,12 +958,12 @@ def _ft_dispatch(
             mt_spec,
         ],
         out_specs=pl.BlockSpec(
-            (16 if realtime else 8, tile_r),
+            (16 if (realtime or env_deferred) else 8, tile_r),
             lambda i, s: (0, i),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 if realtime else 8, r_pad), jnp.float32
+            (16 if (realtime or env_deferred) else 8, r_pad), jnp.float32
         ),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
@@ -932,6 +1008,58 @@ def _ft_progressive_sum_impl(
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height",
+    ),
+)
+def _ft_progressive_deferred_impl(
+    scene, options, camera, width, height, env_kind, interpret,
+    tile_r, block_w, py0=None, full_height=0,
+):
+    """One deferred-env sample: kernel (env-free color + bounce dirs +
+    weights) -> XLA env gathers -> combine. Returns [H, W, 3]."""
+    from ..core.camera import primary_ray_grid
+    from ..scene.envmap import sample_environment
+
+    cameras = jax.tree.map(lambda x: x[None], camera)
+    out, inv = _ft_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
+        env_deferred=True,
+    )
+
+    def rows3(r0):
+        return _unperm(out[r0 : r0 + 3], inv)  # [n, 3]
+
+    color = rows3(0)
+    hit = _unperm(out[3:4], inv)[:, 0] > 0.5
+    env = scene["env"]
+
+    def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        return jnp.where(n2 > 1e-12, v, up)
+
+    # primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
+    # raygen, so miss-lane env matches the wavefront path exactly.
+    _, d_prim = primary_ray_grid(
+        camera, width, height, 30.0, row0=py0, full_height=full_height
+    )
+    e_p = sample_environment(env, d_prim.reshape(-1, 3), static_kind=env_kind)
+    e_d = sample_environment(env, safe_dirs(rows3(4)), static_kind=env_kind)
+    e_s = sample_environment(env, safe_dirs(rows3(10)), static_kind=env_kind)
+    total = (
+        color
+        + jnp.where(hit[:, None], 0.0, e_p)
+        + rows3(7) * e_d
+        + rows3(13) * e_s
+    )
+    return total.reshape(height, width, 3)
+
+
 def fused_traverse_progressive_sum(
     scene: dict,
     options: dict,
@@ -945,9 +1073,23 @@ def fused_traverse_progressive_sum(
 ) -> jnp.ndarray:
     """Sum of S progressive samples via in-kernel BVH traversal. [H, W, 3].
 
+    Texture env kinds (2/3) run env-deferred: one kernel launch per sample
+    (dirs+weights out, env resolved by XLA gathers), summed here.
+
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
     image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w = _ft_knobs()
+    if env_kind in (2, 3):
+        s_count = int(cameras["frame_count"].shape[0])
+        total = None
+        for si in range(s_count):
+            cam_i = jax.tree.map(lambda x: x[si], cameras)
+            r = _ft_progressive_deferred_impl(
+                scene, options, cam_i, width, height, env_kind, interpret,
+                tile_r, block_w, py0, full_height,
+            )
+            total = r if total is None else total + r
+        return total
     return _ft_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r, block_w, py0, full_height,

@@ -272,10 +272,73 @@ def test_supports_fused_traverse_gate():
     lat = dict(
         scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32))
     )
-    assert not ftp.supports_fused_traverse(lat, "progressive", False)
+    # texture env kinds run env-DEFERRED: progressive yes, realtime no
+    assert ftp.supports_fused_traverse(lat, "progressive", False)
+    assert not ftp.supports_fused_traverse(lat, "realtime", False)
     # pre-round-3 packs without the attr lanes are rejected
     stale = dict(
         scene,
         bvh={k: v for k, v in scene["bvh"].items() if k != "mt_attr_lanes"},
     )
     assert not ftp.supports_fused_traverse(stale, "progressive", False)
+
+
+def _tex_env_scene(kind):
+    mesh, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    rs = np.random.default_rng(3)
+    if kind == "latlong":
+        sc.environment = envmap.latlong_env(
+            rs.uniform(0, 2, (8, 16, 3)).astype(np.float32), strength=1.3
+        )
+    else:
+        sc.environment = envmap.cubemap_env(
+            rs.uniform(0, 2, (6, 8, 8, 3)).astype(np.float32), strength=1.3
+        )
+    return sc.build(accel="bvh")
+
+
+@pytest.mark.parametrize("kind", ["latlong", "cubemap"])
+@pytest.mark.parametrize(
+    "opts", [{}, {"debugView": 3}, {"debugView": 4}, {"sampling": 1}]
+)
+def test_ft_env_deferred_matches_oracle(kind, opts):
+    """Texture env kinds via the env-DEFERRED fused path: the kernel emits
+    bounce dirs + per-channel env weights, the host resolves env with the
+    same quad-packed gathers as the wavefront path — sample-for-sample
+    parity with the jnp oracle, including AOV debug modes."""
+    scene = _tex_env_scene(kind)
+    options = dict(default_options(), **opts)
+    cam = cam_stack([5], jitters=[(0.002, -0.001)])[0]
+    got = np.asarray(fused_one(scene, options, cam))
+    want = np.asarray(oracle_one(scene, options, cam))
+    bad = np.abs(got - want).max(axis=-1) > 1e-3
+    assert bad.mean() <= 0.01, f"bad pixels {bad.mean():.4%}"
+    agree = ~bad
+    np.testing.assert_allclose(got[agree], want[agree], atol=1e-3)
+
+
+def test_ft_env_deferred_multi_sample_sum():
+    scene = _tex_env_scene("latlong")
+    options = default_options()
+    cams = cam_stack([3, 9], jitters=[(0.001, 0.002), (-0.002, 0.001)])
+    stacked = jax.tree.map(
+        lambda *x: jax.numpy.stack(x), *[c for c in cams]
+    )
+    total = np.asarray(
+        ftp.fused_traverse_progressive_sum(
+            scene, options, stacked, W, H, int(scene["env"]["kind"]),
+            interpret=True,
+        )
+    )
+    single = sum(
+        np.asarray(fused_one(scene, options, c)) for c in cams
+    )
+    np.testing.assert_allclose(total, single, atol=1e-5)
