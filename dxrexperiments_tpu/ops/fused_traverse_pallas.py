@@ -865,8 +865,6 @@ def _ft_dispatch(
 
     bvh = scene["bvh"]
     s_count = int(cameras["frame_count"].shape[0])
-    if env_deferred:
-        assert s_count == 1, "env_deferred renders one sample per launch"
     n = width * height
     r_pad = -(-n // tile_r) * tile_r
 
@@ -957,13 +955,19 @@ def _ft_dispatch(
             ),
             mt_spec,
         ],
+        # env_deferred: every sample s writes its OWN 16-row block (dirs +
+        # weights differ per sample), so the launch still amortizes dispatch
+        # overhead across S samples; otherwise samples accumulate into one
+        # shared block.
         out_specs=pl.BlockSpec(
             (16 if (realtime or env_deferred) else 8, tile_r),
-            lambda i, s: (0, i),
+            (lambda i, s: (s, i)) if env_deferred else (lambda i, s: (0, i)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 if (realtime or env_deferred) else 8, r_pad), jnp.float32
+            (16 * s_count if env_deferred
+             else (16 if realtime else 8), r_pad),
+            jnp.float32,
         ),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
@@ -1016,26 +1020,22 @@ def _ft_progressive_sum_impl(
     ),
 )
 def _ft_progressive_deferred_impl(
-    scene, options, camera, width, height, env_kind, interpret,
+    scene, options, cameras, width, height, env_kind, interpret,
     tile_r, block_w, py0=None, full_height=0,
 ):
-    """One deferred-env sample: kernel (env-free color + bounce dirs +
-    weights) -> XLA env gathers -> combine. Returns [H, W, 3]."""
+    """Deferred-env sample sum: ONE kernel launch renders all S samples
+    (each sample owns a 16-row out block: env-free color + hit + bounce
+    dirs + env weights), then XLA env gathers resolve and combine per
+    sample. Returns the [H, W, 3] SUM over samples."""
     from ..core.camera import primary_ray_grid
     from ..scene.envmap import sample_environment
 
-    cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
         env_deferred=True,
     )
-
-    def rows3(r0):
-        return _unperm(out[r0 : r0 + 3], inv)  # [n, 3]
-
-    color = rows3(0)
-    hit = _unperm(out[3:4], inv)[:, 0] > 0.5
+    s_count = int(cameras["frame_count"].shape[0])
     env = scene["env"]
 
     def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
@@ -1043,20 +1043,37 @@ def _ft_progressive_deferred_impl(
         up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
         return jnp.where(n2 > 1e-12, v, up)
 
-    # primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
-    # raygen, so miss-lane env matches the wavefront path exactly.
+    # Primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
+    # raygen, so miss-lane env matches the wavefront path exactly. Jitter
+    # only shifts the ray ORIGIN (pack_cameras), so the directions — and
+    # this env image — are shared by all S samples of one camera pose.
+    cam0 = jax.tree.map(lambda x: x[0], cameras)
     _, d_prim = primary_ray_grid(
-        camera, width, height, 30.0, row0=py0, full_height=full_height
+        cam0, width, height, 30.0, row0=py0, full_height=full_height
     )
     e_p = sample_environment(env, d_prim.reshape(-1, 3), static_kind=env_kind)
-    e_d = sample_environment(env, safe_dirs(rows3(4)), static_kind=env_kind)
-    e_s = sample_environment(env, safe_dirs(rows3(10)), static_kind=env_kind)
-    total = (
-        color
-        + jnp.where(hit[:, None], 0.0, e_p)
-        + rows3(7) * e_d
-        + rows3(13) * e_s
-    )
+
+    total = None
+    for si in range(s_count):
+        base = 16 * si
+
+        def rows3(r0, base=base):
+            return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
+
+        hit = _unperm(out[base + 3 : base + 4], inv)[:, 0] > 0.5
+        e_d = sample_environment(
+            env, safe_dirs(rows3(4)), static_kind=env_kind
+        )
+        e_s = sample_environment(
+            env, safe_dirs(rows3(10)), static_kind=env_kind
+        )
+        part = (
+            rows3(0)
+            + jnp.where(hit[:, None], 0.0, e_p)
+            + rows3(7) * e_d
+            + rows3(13) * e_s
+        )
+        total = part if total is None else total + part
     return total.reshape(height, width, 3)
 
 
@@ -1080,16 +1097,10 @@ def fused_traverse_progressive_sum(
     image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w = _ft_knobs()
     if env_kind in (2, 3):
-        s_count = int(cameras["frame_count"].shape[0])
-        total = None
-        for si in range(s_count):
-            cam_i = jax.tree.map(lambda x: x[si], cameras)
-            r = _ft_progressive_deferred_impl(
-                scene, options, cam_i, width, height, env_kind, interpret,
-                tile_r, block_w, py0, full_height,
-            )
-            total = r if total is None else total + r
-        return total
+        return _ft_progressive_deferred_impl(
+            scene, options, cameras, width, height, env_kind, interpret,
+            tile_r, block_w, py0, full_height,
+        )
     return _ft_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r, block_w, py0, full_height,

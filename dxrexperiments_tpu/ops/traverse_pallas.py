@@ -213,7 +213,13 @@ def _leaf_pair_test(mt_scratch, o, d, m, tmin, tmax, cull: bool, count, K: int):
 
     mt_scratch: [K, 128] VMEM scratch ref (slot-major rows, coefficient
     c of group g at lane g*16+c); o/d/m: 3 rows each [1, TILE]. Returns
-    (valid, ts, det_abs, us, vs) with rows >= count masked off."""
+    (valid, ts, det_abs, us, vs) with rows >= count masked off.
+
+    Shape-polymorphic in o: passing rank-0 scalars (a packet-constant
+    origin — e.g. primary rays from the pinhole camera) collapses the t
+    numerator from a [K, TILE] row to a [K, 1] per-triangle column — o
+    only feeds t_d here; the per-lane moments m carry the origin for
+    u_d/v_d."""
 
     def col(g, k):
         return mt_scratch[:, g * 16 + k][:, None]  # [K, 1]
@@ -425,7 +431,8 @@ def _make_traverse_kernel(K: int, cull: bool, occlusion: bool):
 
 
 def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool,
-                              leaf_bestt: bool = True, half_gate: int = 0):
+                              leaf_bestt: bool = False, half_gate: int = 0,
+                              common_origin: bool = False):
     """Fat-node packet traversal: each visit tests BOTH children's AABBs
     (their boxes live in the parent row, see fat_nodes), enqueues leaf
     children into the double-buffered DMA pipeline, and pushes internal
@@ -445,11 +452,19 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool,
     (box stashed in SMEM at enqueue) and skip each TILE/half_gate lane
     sub-block whose lanes all miss the leaf (or are already resolved) —
     packet-union waste recovered at sub-tile granularity. For occlusion the
-    live test also drops lanes already occluded."""
+    live test also drops lanes already occluded.
 
-    def kernel(rays_ref, nodes_ref, mt_hbm, out_ref, stack_ref, pend_ref,
-               box_ref, mt_scratch, sem):
-        o = [rays_ref[k, :][None, :] for k in range(3)]
+    common_origin: all rays in the batch share one origin (primary pinhole
+    rays) — the origin rides SMEM as 3 scalars, the leaf t numerator
+    collapses to a per-triangle [K, 1] column (see _leaf_pair_test) and
+    node slab tests lose their per-lane origin subtraction."""
+
+    def kernel(rays_ref, orig_ref, nodes_ref, mt_hbm, out_ref, stack_ref,
+               pend_ref, box_ref, mt_scratch, sem):
+        if common_origin:
+            o = [orig_ref[0, k] for k in range(3)]
+        else:
+            o = [rays_ref[k, :][None, :] for k in range(3)]
         d = [rays_ref[3 + k, :][None, :] for k in range(3)]
         mom = [
             o[1] * d[2] - o[2] * d[1],
@@ -468,7 +483,7 @@ def _make_traverse_fat_kernel(K: int, cull: bool, occlusion: bool,
 
         def run_lanes(slot, start, count, sub):
             """Pair-test + merge for one static lane slice of the tile."""
-            osub = [x[:, sub] for x in o]
+            osub = o if common_origin else [x[:, sub] for x in o]
             dsub = [x[:, sub] for x in d]
             msub = [x[:, sub] for x in mom]
             if occlusion:
@@ -909,14 +924,29 @@ def traverse_closest(
 
 
 def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
-              tile: int = TILE_R, leaf_bestt: bool = True,
-              half_gate: int = 0):
+              tile: int = TILE_R, leaf_bestt: bool = False,
+              half_gate: int = 0, origin=None):
+    if half_gate > 1 and not interpret and (tile // half_gate) % 1024:
+        # Mosaic cannot sublane-broadcast [1, W] lane slices whose offset
+        # is not a multiple of 1024 ("Invalid input layout" on the
+        # vector.broadcast) — sub-blocks must be 1024-lane aligned, so
+        # gating only engages when tile/half_gate is a multiple of 1024.
+        half_gate = 0
+    if origin is None:
+        orig = jnp.zeros((1, 8), jnp.float32)
+    else:
+        orig = jnp.concatenate(
+            [jnp.asarray(origin, jnp.float32).reshape(3),
+             jnp.zeros((5,), jnp.float32)]
+        )[None, :]
     return pl.pallas_call(
         _make_traverse_fat_kernel(leaf_size, cull, occlusion,
-                                  leaf_bestt=leaf_bestt, half_gate=half_gate),
+                                  leaf_bestt=leaf_bestt, half_gate=half_gate,
+                                  common_origin=origin is not None),
         grid=(r_pad // tile,),
         in_specs=[
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shared origin scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
             pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
         ],
@@ -932,13 +962,13 @@ def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rays, bvh["bvhf_nodes"], bvh["mt_rows"])
+    )(rays, orig, bvh["bvhf_nodes"], bvh["mt_rows"])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "cull_backface", "interpret", "tile",
-                     "leaf_bestt", "half_gate"),
+                     "leaf_bestt", "half_gate", "common_origin"),
 )
 def traverse_fat_closest(
     bvh: dict,
@@ -950,17 +980,22 @@ def traverse_fat_closest(
     cull_backface: bool = False,
     interpret: bool = False,
     tile: int = TILE_R,
-    leaf_bestt: bool = True,
+    leaf_bestt: bool = False,
     half_gate: int = 0,
+    common_origin: bool = False,
 ) -> dict:
     """Closest hit via fat-node front-to-back packet traversal.
 
-    Same contract as traverse_closest."""
+    Same contract as traverse_closest. common_origin: caller asserts ALL
+    origins are identical (primary pinhole rays) — the shared origin rides
+    SMEM and per-pair/per-node origin work collapses to per-triangle
+    columns."""
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
     out = _call_fat(bvh, rays, r_pad, leaf_size, cull_backface, False,
                     interpret, tile, leaf_bestt=leaf_bestt,
-                    half_gate=half_gate)
+                    half_gate=half_gate,
+                    origin=origins[0] if common_origin else None)
     out = out[:, :r]
     hit = out[4] > 0.5
     slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)

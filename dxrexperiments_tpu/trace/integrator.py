@@ -80,11 +80,18 @@ def resolve_impl(impl: str) -> str:
 
 
 def _ray_sort_order(scene: dict, origins, directions):
-    """Packet-coherence sort key for BVH traversal: 12-bit origin Morton
-    cell (within the root AABB) + 3-bit direction octant. Stable argsort
-    keeps the primary block order within each cell, so sorted packets share
-    both origin locality and direction octant — the wavefront ray-reordering
-    step (SURVEY §7 perf pass: "ray sorting/compaction between bounces")."""
+    """Packet-coherence sort key for BVH traversal: 3-bit direction OCTANT
+    major, 12-bit origin Morton cell (within the root AABB) minor. Stable
+    argsort keeps the primary block order within each cell, so sorted
+    packets share both direction octant and origin locality — the wavefront
+    ray-reordering step (SURVEY §7: "ray sorting/compaction between
+    bounces").
+
+    Octant-major measured 393 ms vs morton-major 466 ms vs unsorted 2246 ms
+    (262k INCOHERENT rays / 200k-tri soup, argsort+gather+scatter included;
+    round 3): slab-test unions key on direction sign agreement first. For
+    coherent camera blocks the sort stays measured-NEGATIVE (round 2) —
+    callers opt in per trace via sort_rays."""
     bvhn = scene["bvh"]["bvh_nodes"]
     lo = bvhn[0:3, 0]
     hi = bvhn[3:6, 0]
@@ -105,7 +112,7 @@ def _ray_sort_order(scene: dict, origins, directions):
         + (directions[:, 1] < 0).astype(jnp.int32) * 2
         + (directions[:, 2] < 0).astype(jnp.int32)
     )
-    return jnp.argsort((morton << 3) | octant, stable=True)
+    return jnp.argsort((octant << 12) | morton, stable=True)
 
 
 def _trace_closest(
