@@ -53,12 +53,17 @@ def _tf(t=(0, 0, 0), yaw=0.0, pitch=0.0, roll=0.0, s=1.0):
     return m
 
 
-# Eyeballed against assets/textures/DirectLighting.PNG (see module docstring).
-POSE_A = dict(t=(-7, 4.2, 2), yaw=0.3, pitch=0.35, roll=-1.6, s=6.0)
-POSE_B = dict(t=(6, 5.2, -4), yaw=-0.6, pitch=-1.05, roll=0.0, s=6.0)
+# Coordinate-descent fit against assets/textures/DirectLighting.PNG
+# (benchmarks/parity_fit.py, round 3: luma correlation 0.80 eyeballed ->
+# 0.939 fitted, luma MAE 0.080 -> 0.046 — the round-2 residual was POSE
+# error, not shading error).
+POSE_A = dict(t=(-8.4, 3.325, 3.0), yaw=0.075, pitch=0.575, roll=-1.375,
+              s=5.125)
+POSE_B = dict(t=(4.6, 6.075, -2.6), yaw=-0.337, pitch=-0.863, roll=0.187,
+              s=6.5)
 # Default eye is (8, 10, 30) -> (0, 1.5, 0) (DXRExperimentsApp.cpp:61); the
-# capture's horizon sits lower, i.e. the fly camera had descended — matched:
-EYE, AT = (8.0, 6.3, 30.0), (0.0, 1.5, 0.0)
+# capture's fly camera had descended — fitted:
+EYE, AT = (8.0, 7.35, 32.5), (0.0, 1.0, 0.0)
 
 REF = "/root/reference"
 
