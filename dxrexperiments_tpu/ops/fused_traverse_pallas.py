@@ -118,6 +118,7 @@ def _make_ft_kernel(
     smem_nodes: bool = False,
     full_height: int = 0,
     env_deferred: bool = False,
+    half_gate: int = 0,
 ):
     """resident: triangle rows live wholly in VMEM (mid-size scenes) — leaf
     visits slice them directly, no DMA machinery at all. smem_nodes: fat
@@ -128,8 +129,15 @@ def _make_ft_kernel(
     env_deferred (progressive only): texture env kinds (latlong/cubemap)
     need gathers that don't lower in Mosaic — the kernel computes zero env
     radiance and instead emits bounce directions + per-channel env weights
-    (out rows 3-15); the host resolves env outside and combines."""
+    (out rows 3-15); the host resolves env outside and combines.
+
+    half_gate (resident mode only): leaves are processed AT visit time with
+    the child AABB in hand, so each walk re-tests the leaf box per lane and
+    skips tile/half_gate lane sub-blocks that are all dead (missed box, or
+    already resolved) — the traverse_pallas half_gate idea without the SMEM
+    stash. Sub-blocks must be 1024-lane multiples (Mosaic broadcast)."""
     assert not (realtime and env_deferred)
+    assert half_gate <= 1 or resident
 
     def kernel(
         cam_ref,  # SMEM [S, 16]
@@ -171,14 +179,14 @@ def _make_ft_kernel(
             stack_ref[0] = 0
 
             if resident:
-                def visit_leaf(ptr, meta, q):
+                def visit_leaf(ptr, meta, q, box=None):
                     start = ptr.astype(jnp.int32)
                     row_start = pl.multiple_of(start, 8)
                     block = mt_hbm[pl.ds(row_start, K), :]  # VMEM slice
-                    process(block, meta.astype(jnp.int32))
+                    process(block, meta.astype(jnp.int32), box)
                     return q
             else:
-                def visit_leaf(ptr, meta, q):
+                def visit_leaf(ptr, meta, q, box=None):
                     # double-buffered DMA: start this leaf's copy, test the
                     # PREVIOUS leaf while it flies
                     start = ptr.astype(jnp.int32)
@@ -200,7 +208,9 @@ def _make_ft_kernel(
                             mt_scratch.at[prev],
                             sem.at[prev],
                         ).wait()
-                        process(mt_scratch.at[prev], pend_ref[2 * prev + 1])
+                        process(
+                            mt_scratch.at[prev], pend_ref[2 * prev + 1], None
+                        )
 
                     return q + 1
 
@@ -233,13 +243,13 @@ def _make_ft_kernel(
 
                 @pl.when(leaf0)
                 def _leaf0():
-                    visit_leaf(ptr0, m0, q)
+                    visit_leaf(ptr0, m0, q, [f[k] for k in range(6)])
 
                 q = jnp.where(leaf0, visit_q(q), q)
 
                 @pl.when(leaf1)
                 def _leaf1():
-                    visit_leaf(ptr1, m1, q)
+                    visit_leaf(ptr1, m1, q, [f[6 + k] for k in range(6)])
 
                 q = jnp.where(leaf1, visit_q(q), q)
 
@@ -287,7 +297,9 @@ def _make_ft_kernel(
                         mt_scratch.at[prev],
                         sem.at[prev],
                     ).wait()
-                    process(mt_scratch.at[prev], pend_ref[2 * prev + 1])
+                    process(
+                        mt_scratch.at[prev], pend_ref[2 * prev + 1], None
+                    )
 
         def fetch_mat(matid):
             """Material row fetch: one-hot [16,128] @ [128,R] MXU matmul."""
@@ -325,14 +337,17 @@ def _make_ft_kernel(
             for r in range(HR_U, HR_ATTR + 10):
                 hit_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
 
-            def process(sc, count):
+            def run_lanes(sc, count, sub):
+                obs = ob if sub == slice(None) else [x[:, sub] for x in ob]
+                dbs = db if sub == slice(None) else [x[:, sub] for x in db]
+                moms = mom if sub == slice(None) else [x[:, sub] for x in mom]
                 valid, ts, det_abs, us, vs = _leaf_pair_test(
-                    sc, ob, db, mom, tmin, tmax, cull, count, K
+                    sc, obs, dbs, moms, tmin[sub], tmax[sub], cull, count, K
                 )
                 eps = jnp.float32(1e-12)
                 t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
                 c_t = jnp.min(t_pair, axis=0)
-                better = c_t < hit_ref[HR_T, :]
+                better = c_t < hit_ref[HR_T, sub]
 
                 # Front-to-back descent makes late leaves rarely improve any
                 # lane; the whole merge (one-hot build + u/v picks + 13 row
@@ -355,17 +370,47 @@ def _make_ft_kernel(
                     )
                     c_u = jnp.sum(us * sel, axis=0) * inv_det
                     c_v = jnp.sum(vs * sel, axis=0) * inv_det
-                    hit_ref[HR_T, :] = jnp.where(better, c_t, hit_ref[HR_T, :])
-                    hit_ref[HR_U, :] = jnp.where(better, c_u, hit_ref[HR_U, :])
-                    hit_ref[HR_V, :] = jnp.where(better, c_v, hit_ref[HR_V, :])
+                    hit_ref[HR_T, sub] = jnp.where(
+                        better, c_t, hit_ref[HR_T, sub]
+                    )
+                    hit_ref[HR_U, sub] = jnp.where(
+                        better, c_u, hit_ref[HR_U, sub]
+                    )
+                    hit_ref[HR_V, sub] = jnp.where(
+                        better, c_v, hit_ref[HR_V, sub]
+                    )
                     # winning row's attributes (mt_rows lanes 64..73:
                     # n0/n1/n2 + material id) merged with the same mask
                     for a in range(10):
                         col = sc[:, 64 + a][:, None]  # [K, 1], static lane
                         att = jnp.sum(col * sel, axis=0)
-                        hit_ref[HR_ATTR + a, :] = jnp.where(
-                            better, att, hit_ref[HR_ATTR + a, :]
+                        hit_ref[HR_ATTR + a, sub] = jnp.where(
+                            better, att, hit_ref[HR_ATTR + a, sub]
                         )
+
+            def process(sc, count, box):
+                if half_gate <= 1 or box is None:
+                    run_lanes(sc, count, slice(None))
+                    return
+                # leaf-box re-test per lane: skip lane sub-blocks where no
+                # lane can reach this leaf (box miss, or best-t already
+                # closer) — the traverse_pallas half_gate idea, box in hand
+                # at visit time (resident mode processes immediately).
+                tn = tmin[None, :]
+                tf = jnp.minimum(tmax, hit_ref[HR_T, :])[None, :]
+                for k in range(3):
+                    t0 = (box[k] - ob[k]) * inv[k]
+                    t1 = (box[3 + k] - ob[k]) * inv[k]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                live = (tn <= tf)[0]
+                w = tile_r // half_gate
+                for h in range(half_gate):
+                    sub = slice(h * w, (h + 1) * w)
+
+                    @pl.when(jnp.any(live[sub]))
+                    def _run(sub=sub):
+                        run_lanes(sc, count, sub)
 
             def child_test(lo, hi):
                 t0s = [(lo[k] - ob[k]) * inv[k] for k in range(3)]
@@ -442,13 +487,46 @@ def _make_ft_kernel(
             hit_ref[HR_OCC, :] = pre
             hit_ref[HR_OCC2, :] = pre
 
-            def process(sc, count):
+            def run_lanes(sc, count, sub):
+                obs = ob if sub == slice(None) else [x[:, sub] for x in ob]
                 for (db, mom, _), tmax, row in zip(dir_sets, tmaxes, occ_rows):
+                    dbs = db if sub == slice(None) else [x[:, sub] for x in db]
+                    moms = (
+                        mom if sub == slice(None) else [x[:, sub] for x in mom]
+                    )
                     valid, _, _, _, _ = _leaf_pair_test(
-                        sc, ob, db, mom, tmin, tmax, False, count, K
+                        sc, obs, dbs, moms, tmin[sub], tmax[sub], False,
+                        count, K
                     )
                     occ = jnp.max(valid.astype(jnp.float32), axis=0)
-                    hit_ref[row, :] = jnp.maximum(hit_ref[row, :], occ)
+                    hit_ref[row, sub] = jnp.maximum(hit_ref[row, sub], occ)
+
+            def process(sc, count, box):
+                if half_gate <= 1 or box is None:
+                    run_lanes(sc, count, slice(None))
+                    return
+                # live = either direction set can reach the leaf box and is
+                # not already occluded
+                live = None
+                for (_, _, inv), tmax, row in zip(dir_sets, tmaxes, occ_rows):
+                    tn = tmin[None, :]
+                    tf = jnp.where(
+                        hit_ref[row, :][None, :] > 0.5, -BIG, tmax[None, :]
+                    )
+                    for k in range(3):
+                        t0 = (box[k] - ob[k]) * inv[k]
+                        t1 = (box[3 + k] - ob[k]) * inv[k]
+                        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                    lh = (tn <= tf)[0]
+                    live = lh if live is None else (live | lh)
+                w = tile_r // half_gate
+                for h in range(half_gate):
+                    sub = slice(h * w, (h + 1) * w)
+
+                    @pl.when(jnp.any(live[sub]))
+                    def _run(sub=sub):
+                        run_lanes(sc, count, sub)
 
             def child_test(lo, hi):
                 any_hit = jnp.bool_(False)
@@ -826,15 +904,19 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
     return kind in (0, 1)
 
 
-def _ft_knobs() -> tuple[int, int]:
-    """FT_TILE / FT_BLOCK_W sweep knobs (read outside jit so changes reach
-    the cache as static-arg changes). Default: 1024-ray tiles in 32x32
-    pixel blocks — the measured round-2 packet-traversal sweet spot."""
+def _ft_knobs() -> tuple[int, int, int]:
+    """FT_TILE / FT_BLOCK_W / FT_HG sweep knobs (read outside jit so changes
+    reach the cache as static-arg changes). Default: 1024-ray tiles in
+    32x32 pixel blocks — the measured round-2 packet-traversal sweet spot.
+    FT_HG=N gates each tile/N lane sub-block of every leaf visit behind a
+    per-lane leaf-box re-test (resident mode only; sub-blocks must be
+    1024-lane multiples)."""
     import os
 
     tile_r = int(os.environ.get("FT_TILE", "0")) or 1024
     block_w = int(os.environ.get("FT_BLOCK_W", "0")) or 32
-    return tile_r, block_w
+    half_gate = int(os.environ.get("FT_HG", "0"))
+    return tile_r, block_w, half_gate
 
 
 def _ft_dispatch(
@@ -851,6 +933,7 @@ def _ft_dispatch(
     py0=None,
     full_height: int = 0,
     env_deferred: bool = False,
+    half_gate: int = 0,
 ):
     """Host side: packs constants/cameras/seeds/materials and launches the
     fused traversal kernel over (tiles, samples). Returns (out rows, inv).
@@ -913,6 +996,12 @@ def _ft_dispatch(
     # from static shapes, so the jit cache keys them automatically.
     resident = mt_rows_n <= RESIDENT_MAX_ROWS
     smem_nodes = f_cols <= SMEM_NODES_MAX_COLS
+    if half_gate > 1 and (
+        not resident or interpret is False and (tile_r // half_gate) % 1024
+    ):
+        # gating needs the box at visit time (resident) and 1024-lane
+        # aligned sub-blocks (Mosaic broadcast layout)
+        half_gate = 0
 
     if resident:
         mt_spec = pl.BlockSpec(
@@ -939,6 +1028,7 @@ def _ft_dispatch(
             smem_nodes=smem_nodes,
             full_height=full_height,
             env_deferred=env_deferred,
+            half_gate=half_gate,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -998,16 +1088,17 @@ def _ft_dispatch(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height",
+        "full_height", "half_gate",
     ),
 )
 def _ft_progressive_sum_impl(
     scene, options, cameras, width, height, env_kind, interpret,
-    tile_r, block_w, py0=None, full_height=0,
+    tile_r, block_w, py0=None, full_height=0, half_gate=0,
 ):
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
+        half_gate=half_gate,
     )
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
@@ -1016,12 +1107,12 @@ def _ft_progressive_sum_impl(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height",
+        "full_height", "half_gate",
     ),
 )
 def _ft_progressive_deferred_impl(
     scene, options, cameras, width, height, env_kind, interpret,
-    tile_r, block_w, py0=None, full_height=0,
+    tile_r, block_w, py0=None, full_height=0, half_gate=0,
 ):
     """Deferred-env sample sum: ONE kernel launch renders all S samples
     (each sample owns a 16-row out block: env-free color + hit + bounce
@@ -1033,7 +1124,7 @@ def _ft_progressive_deferred_impl(
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
-        env_deferred=True,
+        env_deferred=True, half_gate=half_gate,
     )
     s_count = int(cameras["frame_count"].shape[0])
     env = scene["env"]
@@ -1095,15 +1186,15 @@ def fused_traverse_progressive_sum(
 
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
     image (multi-chip row sharding, parallel/render.py)."""
-    tile_r, block_w = _ft_knobs()
+    tile_r, block_w, half_gate = _ft_knobs()
     if env_kind in (2, 3):
         return _ft_progressive_deferred_impl(
             scene, options, cameras, width, height, env_kind, interpret,
-            tile_r, block_w, py0, full_height,
+            tile_r, block_w, py0, full_height, half_gate,
         )
     return _ft_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r, block_w, py0, full_height,
+        tile_r, block_w, py0, full_height, half_gate,
     )
 
 
@@ -1111,18 +1202,18 @@ def fused_traverse_progressive_sum(
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height",
+        "full_height", "half_gate",
     ),
 )
 def _ft_realtime_outputs_impl(
     scene, options, camera, width, height, env_kind, interpret,
-    tile_r, block_w, py0=None, full_height=0,
+    tile_r, block_w, py0=None, full_height=0, half_gate=0,
 ):
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
-        py0=py0, full_height=full_height,
+        py0=py0, full_height=full_height, half_gate=half_gate,
     )
 
     def img3(r0):
@@ -1151,8 +1242,8 @@ def fused_traverse_realtime_outputs(
 ) -> dict:
     """One fused realtime sample (RealtimeRaytracing.hlsl tree) with every
     trace as in-kernel BVH traversal; returns the pipeline's AOV dict."""
-    tile_r, block_w = _ft_knobs()
+    tile_r, block_w, half_gate = _ft_knobs()
     return _ft_realtime_outputs_impl(
         scene, options, camera, width, height, env_kind, interpret,
-        tile_r, block_w, py0, full_height,
+        tile_r, block_w, py0, full_height, half_gate,
     )
