@@ -85,7 +85,7 @@ def main() -> None:
 
     ray_sets = {"camera32": camera_blocked(), "incoher": incoherent()}
 
-    def bench(kind, tile, lb, hg, occl=False):
+    def bench(kind, tile, lb, hg, occl=False, co=False):
         o, d = ray_sets[kind]
         o = jnp.asarray(o)
         d = jnp.asarray(d.astype(np.float32))
@@ -98,7 +98,7 @@ def main() -> None:
                 ).astype(jnp.float32)}
             return traverse_pallas.traverse_fat_closest(
                 packed, o, d, t_min=1e-4, leaf_size=leaf, tile=tile,
-                leaf_bestt=lb, half_gate=hg,
+                leaf_bestt=lb, half_gate=hg, common_origin=co,
             )
 
         r = run()
@@ -114,25 +114,24 @@ def main() -> None:
             best = min(best, (time.perf_counter() - t0) / 4)
         tag = "any" if occl else "closest"
         print(
-            f"{kind:8s} {tag:7s} tile {tile:4d} lb={int(lb)} hg={hg}: "
+            f"{kind:8s} {tag:7s} tile {tile:4d} lb={int(lb)} hg={hg} co={int(co)}: "
             f"{best*1e3:7.2f} ms ({n_rays/best/1e6:6.1f} Mrays/s) "
             f"chk {chk:.6g}", flush=True,
         )
         return best
 
-    # camera closest: the 35.8 ms round-2 headline config
-    for tile in (2048, 1024):
-        for lb, hg in ((False, 0), (True, 0), (True, 2), (True, 4)):
-            bench("camera32", tile, lb, hg)
-    # tighter tiles with the best variant
-    bench("camera32", 512, True, 2)
-    # incoherent closest
-    for lb, hg in ((False, 0), (True, 0), (True, 2)):
-        bench("incoher", 2048, lb, hg)
-    # occlusion (shadow-ray analogue)
-    for hg in (0, 2):
-        bench("camera32", 2048, False, hg, occl=True)
-        bench("incoher", 2048, False, hg, occl=True)
+    # Measured rounds A/B (camera32 closest, ms): 2048/lb0/hg0 37.4 (the
+    # r2 baseline), lb alone NEGATIVE (39.1 — any(valid) over 2048 lanes
+    # is almost always true), 2048/lb1/hg2 32.7, 2048/lb0/hg2 30.7 (best),
+    # 4096/hg4 31.5, 8192/hg8 36.3, plain 1024 30.8. Occlusion: hg2 28.5
+    # -> 26.4. Incoherent rays: 2.1-2.4 s at every config (the packet
+    # union IS the tree; gating recovers <15%).
+    # Round C: common-origin (pinhole) specialization on the winners.
+    for co in (False, True):
+        for tile, lb, hg in ((2048, False, 2), (1024, False, 0),
+                             (4096, False, 4)):
+            bench("camera32", tile, lb, hg, co=co)
+    bench("camera32", 2048, False, 0, co=True)
 
 
 if __name__ == "__main__":

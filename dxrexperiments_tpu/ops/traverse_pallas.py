@@ -981,7 +981,7 @@ def traverse_fat_closest(
     interpret: bool = False,
     tile: int = TILE_R,
     leaf_bestt: bool = False,
-    half_gate: int = 0,
+    half_gate: int = 2,
     common_origin: bool = False,
 ) -> dict:
     """Closest hit via fat-node front-to-back packet traversal.
@@ -1022,9 +1022,13 @@ def traverse_fat_any(
     leaf_size: int = 16,
     interpret: bool = False,
     tile: int = TILE_R,
-    half_gate: int = 0,
+    half_gate: int = 2,
 ) -> jnp.ndarray:
-    """Occlusion via fat-node packet traversal with all-occluded early exit."""
+    """Occlusion via fat-node packet traversal with all-occluded early exit.
+
+    half_gate defaults to 2 (measured: occlusion 28.5 -> 26.4 ms, closest
+    37.4 -> 30.7 ms on the 200k micro at the default 2048 tile); it
+    auto-disables at tiles whose halves aren't 1024-lane multiples."""
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
     out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret, tile,
