@@ -872,10 +872,23 @@ def pack_consts(scene: dict, options: dict, env_kind: int) -> jnp.ndarray:
     from ..scene.lights import normalize_lights
 
     lights_n = normalize_lights(scene["lights"])
-    dl = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
-          for k, v in lights_n["dir"].items()}
-    pt = {k: v.reshape(-1)[:3] if k != "intensity" else v.reshape(-1)[0]
-          for k, v in lights_n["point"].items()}
+
+    def first(group):
+        # First light of the group, or zeros when the group is empty (the
+        # fused kernels build their direction sets from STATIC rig counts,
+        # so an absent group's const lanes are never read).
+        out = {}
+        for k, v in group.items():
+            if int(v.shape[0]) == 0:
+                out[k] = (jnp.zeros(3, jnp.float32) if k != "intensity"
+                          else jnp.float32(0.0))
+            else:
+                out[k] = (v.reshape(-1)[:3] if k != "intensity"
+                          else v.reshape(-1)[0])
+        return out
+
+    dl = first(lights_n["dir"])
+    pt = first(lights_n["point"])
     fwd = dl["forward"]
     n2 = jnp.sum(fwd * fwd)
     inv = jnp.where(n2 > 1e-8, 1.0 / jnp.sqrt(jnp.maximum(n2, 1e-8)), 0.0)
@@ -912,6 +925,29 @@ def pack_consts(scene: dict, options: dict, env_kind: int) -> jnp.ndarray:
     )
     row1 = jnp.concatenate([flags, env1, jnp.zeros(5, jnp.float32)])
     return jnp.stack([row0, row1])
+
+
+# area const pack lanes (pack_area_consts row 0)
+AC_CORNER, AC_EU, AC_EV, AC_CI, AC_NL, AC_AREA = 0, 3, 6, 9, 12, 15
+
+
+def pack_area_consts(scene: dict) -> jnp.ndarray:
+    """Area-light pack [1, 16]: corner(0:3) eu(3:6) ev(6:9)
+    color*intensity(9:12) unit normal(12:15) quad area(15) — the SMEM
+    constants the fused traversal kernel's in-kernel soft-shadow walk needs
+    (scene/lights.area_light; geometry terms match
+    trace/integrator._direct_lighting)."""
+    from ..scene.lights import normalize_lights
+
+    al = normalize_lights(scene["lights"])["area"]
+    corner = al["corner"].reshape(-1)[:3]
+    eu = al["eu"].reshape(-1)[:3]
+    ev = al["ev"].reshape(-1)[:3]
+    ci = (al["color"] * al["intensity"][:, None]).reshape(-1)[:3]
+    cross = jnp.cross(eu, ev)
+    area = jnp.sqrt(jnp.maximum(jnp.sum(cross * cross), 1e-24))
+    n_l = cross / jnp.maximum(area, 1e-12)
+    return jnp.concatenate([corner, eu, ev, ci, n_l, area[None]])[None]
 
 
 def _pick_tile(c: int) -> int:

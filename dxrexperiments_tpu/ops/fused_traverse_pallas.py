@@ -32,8 +32,14 @@ Layer's software BVH traversal inlined into the same GPU dispatch.
 Scope (supports_fused_traverse; wavefront path otherwise):
   * progressive / realtime, no ao_only,
   * single-level BVH scenes with the fat-node pack + attr lanes,
-  * the fixed 1-dir + 1-point light rig, <= 128 materials,
-  * env kinds constant/gradient.
+  * light rigs of up to one directional + one point + one AREA light (the
+    area light's AREA_LIGHT_SAMPLES stratified soft-shadow rays join the
+    shared multi-direction occlusion walk), <= 128 materials,
+  * env kinds constant/gradient in-kernel; texture env kinds (latlong /
+    cubemap) and albedo TEXTURES via the DEFERRED modes (progressive): the
+    kernel emits bounce dirs, hit UVs + material ids and per-channel
+    combination coefficients, and the host resolves the env / quad-packed
+    albedo gathers outside (XLA gathers don't lower in Mosaic).
 """
 
 from __future__ import annotations
@@ -58,7 +64,14 @@ from ..scene.materials import (
     MP_TYPE,
     material_pack,
 )
+from ..scene.lights import AREA_LIGHT_SAMPLES
 from .fused_sample_pallas import (
+    AC_AREA,
+    AC_CI,
+    AC_CORNER,
+    AC_EU,
+    AC_EV,
+    AC_NL,
     BIG,
     C_DLCI,
     C_DLDIR,
@@ -86,6 +99,7 @@ from .fused_sample_pallas import (
     _sanitize,
     _saturate,
     _unperm,
+    pack_area_consts,
     pack_cameras,
     pack_consts,
 )
@@ -93,9 +107,16 @@ from .traverse_pallas import MAX_STACK, _leaf_pair_test
 
 RAY_FAR = 3.0e37  # finite "infinity" for slab tests (BIG would overflow *inv)
 
-# hit_ref row layout (per-traversal scratch state); rows 13/14 are the two
-# occlusion rows of the paired shadow walk
-HR_T, HR_U, HR_V, HR_ATTR, HR_OCC, HR_OCC2 = 0, 1, 2, 3, 13, 14
+# hit_ref row layout (per-traversal scratch state, [32, tile_r]): rows 3..18
+# hold the winning triangle's merged attributes (10 std + 6 UV-corner lanes
+# in tex-deferred mode); rows HR_OCC0.. hold one occlusion row per direction
+# set of the shared multi-direction shadow walk (up to 8 sets; the full
+# 1 dir + 1 point + AREA_LIGHT_SAMPLES area rig uses 6).
+HR_T, HR_U, HR_V, HR_ATTR, HR_OCC0 = 0, 1, 2, 3, 24
+
+# tex-deferred out-block rows per sample (see _make_ft_kernel's final
+# writes for the row map).
+TEX_ROWS = 40
 
 # mt_rows row count up to which the triangle pack lives wholly in VMEM
 # (8 MB at 16384 rows) instead of HBM + per-leaf DMA.
@@ -119,6 +140,8 @@ def _make_ft_kernel(
     full_height: int = 0,
     env_deferred: bool = False,
     half_gate: int = 0,
+    rig: tuple = (1, 1, 0),
+    tex_deferred: bool = False,
 ):
     """resident: triangle rows live wholly in VMEM (mid-size scenes) — leaf
     visits slice them directly, no DMA machinery at all. smem_nodes: fat
@@ -131,29 +154,52 @@ def _make_ft_kernel(
     radiance and instead emits bounce directions + per-channel env weights
     (out rows 3-15); the host resolves env outside and combines.
 
+    tex_deferred (progressive only; implies env deferral): albedo textures
+    (scene/textures.py) multiply the constant albedo at every closest hit.
+    The color is (bi)linear in the three texture samples, so the kernel
+    emits per-channel coefficients A + B*tex_p + C*tex_p*tex_d + D*tex_s
+    plus each hit's interpolated UV + material id (out rows 0..33, TEX_ROWS
+    block per sample); the host gathers the quad-packed albedo table and
+    combines — the same deferred-resolve pattern as env.
+
+    rig: static (n_dir, n_point, n_area) light counts, each <= 1
+    (scene/lights.light_counts). Every light's shadow rays — including the
+    area light's AREA_LIGHT_SAMPLES stratified samples, whose [0,1)^2 draws
+    arrive precomputed in adraw_ref (bit-exact with the wavefront oracle's
+    decoupled TEA chain) — share ONE multi-direction occlusion walk.
+
     half_gate (resident mode only): leaves are processed AT visit time with
     the child AABB in hand, so each walk re-tests the leaf box per lane and
     skips tile/half_gate lane sub-blocks that are all dead (missed box, or
     already resolved) — the traverse_pallas half_gate idea without the SMEM
     stash. Sub-blocks must be 1024-lane multiples (Mosaic broadcast)."""
-    assert not (realtime and env_deferred)
+    assert not (realtime and (env_deferred or tex_deferred))
     assert half_gate <= 1 or resident
+    d_count, p_count, a_count = rig
+    defer_env = env_deferred or tex_deferred
+    n_attr = 16 if tex_deferred else 10
 
-    def kernel(
-        cam_ref,  # SMEM [S, 16]
-        const_ref,  # SMEM [2, 16]
-        nodes_ref,  # VMEM [16, F] fat nodes (SMEM when smem_nodes)
-        mat_ref,  # VMEM [16, 128] material table
-        seed_ref,  # VMEM [1, 1, tile_r] uint32
-        mt_hbm,  # ANY [S_pad, 128] triangle rows (VMEM when resident)
-        out_ref,  # VMEM [8|16, tile_r]
-        stack_ref,  # SMEM [MAX_STACK]
-        pend_ref,  # SMEM [4]
-        mt_scratch,  # VMEM [2, K, 128] (unused when resident)
-        sem,  # DMA sem (2,) (unused when resident)
-        hit_ref,  # VMEM [16, tile_r] per-traversal best-hit state
-        sec_ref,  # VMEM [8, tile_r] secondary radiance rows
-    ):
+    def kernel(*refs):
+        # arg order mirrors _ft_dispatch's in_specs; the area pack + draw
+        # rows exist only when the rig has an area light
+        it = iter(refs)
+        cam_ref = next(it)  # SMEM [S, 16]
+        const_ref = next(it)  # SMEM [2, 16]
+        if a_count:
+            area_ref = next(it)  # SMEM [1, 16]
+            adraw_ref = next(it)  # VMEM [1, 2*AREA_LIGHT_SAMPLES, tile_r]
+        nodes_ref = next(it)  # VMEM [16, F] fat nodes (SMEM when smem_nodes)
+        mat_ref = next(it)  # VMEM [16, 128] material table
+        seed_ref = next(it)  # VMEM [1, 1, tile_r] uint32
+        mt_hbm = next(it)  # ANY [S_pad, 128] triangle rows (VMEM if resident)
+        out_ref = next(it)  # VMEM [8|16|TEX_ROWS, tile_r]
+        stack_ref = next(it)  # SMEM [MAX_STACK]
+        pend_ref = next(it)  # SMEM [4]
+        mt_scratch = next(it)  # VMEM [2, K, 128] (unused when resident)
+        sem = next(it)  # DMA sem (2,) (unused when resident)
+        hit_ref = next(it)  # VMEM [32, tile_r] per-traversal best-hit state
+        sec_ref = next(it)  # VMEM [8|24, tile_r] secondary radiance rows
+
         i = pl.program_id(0)
         s = pl.program_id(1)
 
@@ -321,7 +367,9 @@ def _make_ft_kernel(
             o/d 3-tuples [tile_r]; tmin/tmax [tile_r] (empty interval
             tmax < tmin marks a lane dead — it fails every slab test, so
             dead lanes are genuinely free). Returns (hit, t, pos, normal,
-            mat[16, R])."""
+            mat[16, R], uv) — uv = (u, v) interpolated texture coords when
+            tex_deferred (mt_rows lanes 74..79 carry the corner UVs), else
+            None."""
             ob = [o[k][None, :] for k in range(3)]
             db = [d[k][None, :] for k in range(3)]
             mom = [
@@ -334,7 +382,7 @@ def _make_ft_kernel(
                 for k in range(3)
             ]
             hit_ref[HR_T, :] = jnp.full((tile_r,), BIG, jnp.float32)
-            for r in range(HR_U, HR_ATTR + 10):
+            for r in range(HR_U, HR_ATTR + n_attr):
                 hit_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
 
             def run_lanes(sc, count, sub):
@@ -380,8 +428,9 @@ def _make_ft_kernel(
                         better, c_v, hit_ref[HR_V, sub]
                     )
                     # winning row's attributes (mt_rows lanes 64..73:
-                    # n0/n1/n2 + material id) merged with the same mask
-                    for a in range(10):
+                    # n0/n1/n2 + material id; 74..79 corner UVs in
+                    # tex-deferred mode) merged with the same mask
+                    for a in range(n_attr):
                         col = sc[:, 64 + a][:, None]  # [K, 1], static lane
                         att = jnp.sum(col * sel, axis=0)
                         hit_ref[HR_ATTR + a, sub] = jnp.where(
@@ -454,22 +503,39 @@ def _make_ft_kernel(
             normal = (nx * invn, ny * invn, nz * invn)
             pos = tuple(o[k] + t * d[k] for k in range(3))
             mat = fetch_mat(hit_ref[HR_ATTR + 9, :])
-            return hit, t, pos, normal, mat
+            uv_hit = None
+            if tex_deferred:
+                # interpolated texture coords from the corner-UV attr lanes
+                # + the winning material id (miss lanes stay (0,0)/id 0 —
+                # their texture coefficients are zero, so the junk texel
+                # never shows)
+                uv_hit = (
+                    w * hit_ref[HR_ATTR + 10, :]
+                    + u * hit_ref[HR_ATTR + 12, :]
+                    + v * hit_ref[HR_ATTR + 14, :],
+                    w * hit_ref[HR_ATTR + 11, :]
+                    + u * hit_ref[HR_ATTR + 13, :]
+                    + v * hit_ref[HR_ATTR + 15, :],
+                    hit_ref[HR_ATTR + 9, :],
+                )
+            return hit, t, pos, normal, mat, uv_hit
 
-        def t_any_pair(o, d_a, d_b, tmin, tmax_a, tmax_b, pre_occ):
-            """PAIRED occlusion traversal: two shadow rays per lane (same
-            origin, different directions — the 1-dir + 1-point light rig)
-            share ONE node walk and ONE leaf-DMA stream, each leaf tested
-            against both direction sets. Halves scalar loop trips and DMA
-            traffic vs two separate walks (the unions overlap heavily for
-            rays leaving the same surface point).
+        def t_any_multi(o, dirs, tmin, tmaxes, pre_occ):
+            """MULTI-direction occlusion traversal: every shadow ray of a
+            shading point (1 dir light + 1 point light + AREA_LIGHT_SAMPLES
+            area samples — up to 6 directions per lane, same origin) shares
+            ONE node walk and ONE leaf-DMA stream, each leaf tested against
+            every direction set. The unions overlap heavily for rays leaving
+            the same surface point, so scalar loop trips and DMA traffic are
+            ~flat in the direction count (the round-2 paired-walk result,
+            generalised for the area-light rig).
 
-            pre_occ lanes are marked occluded in both rows so the
-            all-occluded early exit fires without them. Returns
-            (occ_a, occ_b) bools [tile_r] (False on pre_occ lanes)."""
+            pre_occ lanes are marked occluded in every row so the
+            all-occluded early exit fires without them. Returns a list of
+            occlusion bools [tile_r] (False on pre_occ lanes)."""
             ob = [o[k][None, :] for k in range(3)]
             dir_sets = []
-            for d in (d_a, d_b):
+            for d in dirs:
                 db = [d[k][None, :] for k in range(3)]
                 mom = [
                     ob[1] * db[2] - ob[2] * db[1],
@@ -481,11 +547,10 @@ def _make_ft_kernel(
                     for k in range(3)
                 ]
                 dir_sets.append((db, mom, inv))
-            tmaxes = (tmax_a, tmax_b)
-            occ_rows = (HR_OCC, HR_OCC2)
+            occ_rows = [HR_OCC0 + j for j in range(len(dirs))]
             pre = jnp.where(pre_occ, 2.0, 0.0)
-            hit_ref[HR_OCC, :] = pre
-            hit_ref[HR_OCC2, :] = pre
+            for row in occ_rows:
+                hit_ref[row, :] = pre
 
             def run_lanes(sc, count, sub):
                 obs = ob if sub == slice(None) else [x[:, sub] for x in ob]
@@ -549,16 +614,17 @@ def _make_ft_kernel(
                 return any_hit, min_enter
 
             def done_fn():
-                both = jnp.minimum(hit_ref[HR_OCC, :], hit_ref[HR_OCC2, :])
-                return jnp.min(both) > 0.5
+                allmin = hit_ref[occ_rows[0], :]
+                for row in occ_rows[1:]:
+                    allmin = jnp.minimum(allmin, hit_ref[row, :])
+                return jnp.min(allmin) > 0.5
 
             fat_loop(child_test, done_fn, process)
-            occ_a = hit_ref[HR_OCC, :]
-            occ_b = hit_ref[HR_OCC2, :]
-            return (
-                jnp.where(occ_a > 1.5, 0.0, occ_a) > 0.5,
-                jnp.where(occ_b > 1.5, 0.0, occ_b) > 0.5,
-            )
+            out = []
+            for row in occ_rows:
+                occ = hit_ref[row, :]
+                out.append(jnp.where(occ > 1.5, 0.0, occ) > 0.5)
+            return out
 
         # ---- shading helpers (fused_sample_pallas parity, mat-table form) --
         def env_color(d):
@@ -582,32 +648,99 @@ def _make_ft_kernel(
         far_row = jnp.full((tile_r,), RAY_FAR, jnp.float32)
 
         def direct_lighting(pos, normal, pick_draw, active):
-            dl = tuple(
-                const_ref[0, C_DLDIR + k] + 0.0 * pos[0] for k in range(3)
+            """Direct term over the static (d, p, a) rig — the in-kernel
+            analogue of trace/integrator._direct_lighting. One
+            multi-direction occlusion walk carries every light's shadow
+            rays; the area light contributes the stratified soft-shadow
+            estimate L * mean_j(NoL * |cos_l| * area / dist_j^2 * vis_j)
+            with the sample draws precomputed host-side (adraw_ref)."""
+            dirs = []
+            tmaxes = []
+            if d_count:
+                dl = tuple(
+                    const_ref[0, C_DLDIR + k] + 0.0 * pos[0] for k in range(3)
+                )
+                dirs.append(dl)
+                tmaxes.append(far_row)
+            if p_count:
+                path = tuple(
+                    const_ref[0, C_PLPOS + k] - pos[k] for k in range(3)
+                )
+                d2 = jnp.maximum(_dot3(path, path), 0.0)
+                dist = jnp.sqrt(d2)
+                lp, _ = _normalize3(path)
+                dirs.append(lp)
+                tmaxes.append(jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON))
+            a_d2 = []
+            if a_count:
+                corner = [area_ref[0, AC_CORNER + k] for k in range(3)]
+                a_eu = [area_ref[0, AC_EU + k] for k in range(3)]
+                a_ev = [area_ref[0, AC_EV + k] for k in range(3)]
+                for j in range(AREA_LIGHT_SAMPLES):
+                    r0 = adraw_ref[0, 2 * j, :]
+                    r1 = adraw_ref[0, 2 * j + 1, :]
+                    apath = tuple(
+                        corner[k] + r0 * a_eu[k] + r1 * a_ev[k] - pos[k]
+                        for k in range(3)
+                    )
+                    ad2 = jnp.maximum(_dot3(apath, apath), 1e-12)
+                    adist = jnp.sqrt(ad2)
+                    wi, _ = _normalize3(apath)
+                    dirs.append(wi)
+                    tmaxes.append(
+                        jnp.maximum(adist - RAY_EPSILON, RAY_EPSILON)
+                    )
+                    a_d2.append(ad2)
+
+            occ = t_any_multi(pos, dirs, eps_row, tmaxes, ~active)
+            vis = [jnp.where(active & ~o, 1.0, 0.0) for o in occ]
+
+            contribs = []  # per LIGHT (area = one light), 3-channel tuples
+            base = 0
+            if d_count:
+                nol_d = _saturate(_dot3(normal, dirs[base]))
+                dterm = nol_d * vis[base]
+                contribs.append(
+                    tuple(const_ref[0, C_DLCI + k] * dterm for k in range(3))
+                )
+                base += 1
+            if p_count:
+                nol_p = _saturate(_dot3(normal, dirs[base]))
+                falloff = 1.0 / (TWO_PI * jnp.maximum(dist * dist, 1e-12))
+                pterm = nol_p * vis[base] * falloff
+                contribs.append(
+                    tuple(const_ref[0, C_PLCI + k] * pterm for k in range(3))
+                )
+                base += 1
+            if a_count:
+                n_l = [area_ref[0, AC_NL + k] for k in range(3)]
+                geo = jnp.zeros_like(pos[0])
+                for j in range(AREA_LIGHT_SAMPLES):
+                    wi = dirs[base + j]
+                    nol = _saturate(_dot3(normal, wi))
+                    cos_l = jnp.abs(_dot3(n_l, wi))
+                    geo = geo + nol * cos_l / a_d2[j] * vis[base + j]
+                geo = geo * (area_ref[0, AC_AREA] / float(AREA_LIGHT_SAMPLES))
+                contribs.append(
+                    tuple(area_ref[0, AC_CI + k] * geo for k in range(3))
+                )
+
+            l_count = len(contribs)
+            full = contribs[0]
+            for c in contribs[1:]:
+                full = tuple(full[k] + c[k] for k in range(3))
+            if l_count == 1:
+                return full
+            # debug==2 one-of-L MC estimator: pick uniformly, scale by L
+            pidx = jnp.minimum(
+                (pick_draw * float(l_count)).astype(jnp.int32), l_count - 1
             )
-            path = tuple(const_ref[0, C_PLPOS + k] - pos[k] for k in range(3))
-            d2 = jnp.maximum(_dot3(path, path), 0.0)
-            dist = jnp.sqrt(d2)
-            lp, _ = _normalize3(path)
-            occ_d, occ_p = t_any_pair(
-                pos, dl, lp, eps_row, far_row,
-                jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON),
-                ~active,
-            )
-            d_vis = jnp.where(active & ~occ_d, 1.0, 0.0)
-            p_vis = jnp.where(active & ~occ_p, 1.0, 0.0)
-            nol_d = _saturate(_dot3(normal, dl))
-            nol_p = _saturate(_dot3(normal, lp))
-            falloff = 1.0 / (TWO_PI * jnp.maximum(dist * dist, 1e-12))
-            dterm = nol_d * d_vis
-            pterm = nol_p * p_vis * falloff
-            d_c = tuple(const_ref[0, C_DLCI + k] * dterm for k in range(3))
-            p_c = tuple(const_ref[0, C_PLCI + k] * pterm for k in range(3))
-            full = tuple(d_c[k] + p_c[k] for k in range(3))
-            mc = tuple(
-                jnp.where(pick_draw < 0.5, d_c[k] * 2.0, p_c[k] * 2.0)
-                for k in range(3)
-            )
+            mc = tuple(jnp.zeros_like(full[k]) for k in range(3))
+            for li, c in enumerate(contribs):
+                mc = tuple(
+                    jnp.where(pidx == li, c[k] * float(l_count), mc[k])
+                    for k in range(3)
+                )
             is_mc = const_ref[1, F_IS_MC] > 0.5
             return tuple(jnp.where(is_mc, mc[k], full[k]) for k in range(3))
 
@@ -615,17 +748,34 @@ def _make_ft_kernel(
             """Depth-1 radiance (fused_sample_pallas._secondary_radiance
             parity; realtime omits the emissive term).
 
-            env_deferred: miss lanes contribute 0 here; the second return
-            value is the env mask (active miss lanes) — the host resolves
-            env(d) outside the kernel (texture env kinds need gathers that
-            don't lower in Mosaic) and adds weight * env per lane."""
+            env/tex deferral: miss lanes contribute 0 here; the returns
+            beyond the shade carry the env mask (active miss lanes) and, in
+            tex mode, the albedo-linear coefficient + hit UV/material id —
+            the host resolves env(d) / albedo(uv) gathers outside the
+            kernel and combines."""
             tmax = jnp.where(active, RAY_FAR, 0.0)
-            s_hit, _t, s_pos, s_normal, s_mat = t_closest(
+            s_hit, _t, s_pos, s_normal, s_mat, s_uv = t_closest(
                 o, d, eps_row, tmax, cull=False
             )
             s_hit = s_hit & active
-            env = None if env_deferred else env_color(d)
+            env = None if defer_env else env_color(d)
             direct = direct_lighting(s_pos, s_normal, pick_draw, s_hit)
+            if tex_deferred:
+                # split the shade into its tex-free part and the coefficient
+                # of this hit's albedo texture sample
+                base = tuple(
+                    jnp.where(
+                        s_hit, s_mat[MP_EMISSIVE + k] * s_mat[MP_ESTR], 0.0
+                    )
+                    for k in range(3)
+                )
+                alb = tuple(
+                    jnp.where(
+                        s_hit, s_mat[MP_ALBEDO + k] * direct[k] / M_PI, 0.0
+                    )
+                    for k in range(3)
+                )
+                return base, alb, active & ~s_hit, s_uv
             out = []
             for k in range(3):
                 shade = s_mat[MP_ALBEDO + k] * direct[k] / M_PI
@@ -682,13 +832,13 @@ def _make_ft_kernel(
 
         # ---- primary closest hit (cull backfaces) --------------------------
         tmax_prim = jnp.where(live, RAY_FAR, 0.0)
-        hit, _t, pos, normal, mat = t_closest(
+        hit, _t, pos, normal, mat, uv_p = t_closest(
             o, d, jnp.zeros((tile_r,), jnp.float32), tmax_prim, cull=True
         )
-        # env_deferred: the host recomputes the primary directions with
+        # deferred env: the host recomputes the primary directions with
         # primary_ray_grid (bit-identical to the jnp oracle) and substitutes
         # env on miss lanes itself — no in-kernel primary env at all.
-        env_primary = None if env_deferred else env_color(d)
+        env_primary = None if defer_env else env_color(d)
 
         # ---- direct lighting (draw u1 = MC light pick) ----------------------
         direct = direct_lighting(pos, normal, u1, hit)
@@ -735,36 +885,76 @@ def _make_ft_kernel(
         # ---- secondary bounces (tile-level traversal skips) ----------------
         spec_any = jnp.any(spec_active)
 
-        if not realtime:
+        if tex_deferred:
+            # sec_ref rows (tex mode): 0-2 diffuse tex-free shade, 3-5 its
+            # tex_d coefficient, 6 env mask, 7-8 hit UV, 9 material id;
+            # 10-19 the same ten rows for the specular bounce.
             @pl.when(~no_ind)
-            def _sec_diffuse():
-                s3, emask = secondary_radiance(pos, diff_dir, u1, hit)
+            def _sec_diffuse_t():
+                base3, alb3, emask, suv = secondary_radiance(
+                    pos, diff_dir, u1, hit
+                )
                 for k in range(3):
-                    sec_ref[k, :] = s3[k]
-                if env_deferred:
-                    sec_ref[6, :] = emask.astype(jnp.float32)
+                    sec_ref[k, :] = base3[k]
+                    sec_ref[3 + k, :] = alb3[k]
+                sec_ref[6, :] = emask.astype(jnp.float32)
+                sec_ref[7, :] = suv[0]
+                sec_ref[8, :] = suv[1]
+                sec_ref[9, :] = suv[2]
 
             @pl.when(no_ind)
-            def _sec_diffuse_zero():
+            def _sec_diffuse_t_zero():
+                for r in range(10):
+                    sec_ref[r, :] = jnp.zeros_like(sec_ref[r, :])
+
+            @pl.when(spec_any)
+            def _sec_spec_t():
+                base3, alb3, emask, suv = secondary_radiance(
+                    pos, phong_dir, u1, spec_active
+                )
                 for k in range(3):
-                    sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+                    sec_ref[10 + k, :] = base3[k]
+                    sec_ref[13 + k, :] = alb3[k]
+                sec_ref[16, :] = emask.astype(jnp.float32)
+                sec_ref[17, :] = suv[0]
+                sec_ref[18, :] = suv[1]
+                sec_ref[19, :] = suv[2]
+
+            @pl.when(~spec_any)
+            def _sec_spec_t_zero():
+                for r in range(10, 20):
+                    sec_ref[r, :] = jnp.zeros_like(sec_ref[r, :])
+        else:
+            if not realtime:
+                @pl.when(~no_ind)
+                def _sec_diffuse():
+                    s3, emask = secondary_radiance(pos, diff_dir, u1, hit)
+                    for k in range(3):
+                        sec_ref[k, :] = s3[k]
+                    if env_deferred:
+                        sec_ref[6, :] = emask.astype(jnp.float32)
+
+                @pl.when(no_ind)
+                def _sec_diffuse_zero():
+                    for k in range(3):
+                        sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+                    if env_deferred:
+                        sec_ref[6, :] = jnp.zeros_like(sec_ref[6, :])
+
+            @pl.when(spec_any)
+            def _sec_spec():
+                s3, emask = secondary_radiance(pos, phong_dir, u1, spec_active)
+                for k in range(3):
+                    sec_ref[3 + k, :] = s3[k]
                 if env_deferred:
-                    sec_ref[6, :] = jnp.zeros_like(sec_ref[6, :])
+                    sec_ref[7, :] = emask.astype(jnp.float32)
 
-        @pl.when(spec_any)
-        def _sec_spec():
-            s3, emask = secondary_radiance(pos, phong_dir, u1, spec_active)
-            for k in range(3):
-                sec_ref[3 + k, :] = s3[k]
-            if env_deferred:
-                sec_ref[7, :] = emask.astype(jnp.float32)
-
-        @pl.when(~spec_any)
-        def _sec_spec_zero():
-            for k in range(3):
-                sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
-            if env_deferred:
-                sec_ref[7, :] = jnp.zeros_like(sec_ref[7, :])
+            @pl.when(~spec_any)
+            def _sec_spec_zero():
+                for k in range(3):
+                    sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
+                if env_deferred:
+                    sec_ref[7, :] = jnp.zeros_like(sec_ref[7, :])
 
         spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
 
@@ -813,6 +1003,99 @@ def _make_ft_kernel(
         show_fresnel = const_ref[1, F_SHOW_FRESNEL] > 0.5
         show_ispec = const_ref[1, F_SHOW_IND_SPEC] > 0.5
         show_idiff = const_ref[1, F_SHOW_IND_DIFF] > 0.5
+
+        if tex_deferred:
+            # Per-sample TEX_ROWS block. The color is (bi)linear in the three
+            # albedo-texture samples and linear in the two bounce env
+            # samples; the kernel emits the coefficients + lookup keys and
+            # the host combines:
+            #   color = A + tex_p*B + tex_p*tex_d*C + tex_s*D
+            #         + tex_p*wd*env(diff_dir) + ws*env(spec_dir)
+            #         + (miss ? env(primary) : 0)
+            # Rows: 0-2 A, 3 hit, 4-6 diff dir, 7-9 wd, 10-12 spec dir,
+            # 13-15 ws, 16-18 B, 19-21 C, 22-24 D, 25-26 primary UV,
+            # 27 primary mat id, 28-29 diffuse UV, 30 its mat id,
+            # 31-32 specular UV, 33 its mat id, 34-39 zero padding.
+            # Debug-view precedence mirrors the oracle's where-chain
+            # (idiff > ispec > fresnel > albedo > direct > full).
+            m_idiff = show_idiff
+            m_ispec = show_ispec & ~show_idiff
+            m_fres = show_fresnel & ~(show_ispec | show_idiff)
+            m_alb = show_albedo & ~(show_fresnel | show_ispec | show_idiff)
+            m_dir = show_direct & ~(
+                show_albedo | show_fresnel | show_ispec | show_idiff
+            )
+            m_full = ~(
+                show_direct | show_albedo | show_fresnel | show_ispec
+                | show_idiff
+            )
+            nol = _saturate(_dot3(normal, diff_dir))
+            ind_factor = jnp.where(cosine > 0.5, M_PI, nol * TWO_PI)
+            factor_eff = jnp.where(no_ind, 0.0, ind_factor)
+            sd_base = tuple(sec_ref[k, :] for k in range(3))
+            sd_alb = tuple(sec_ref[3 + k, :] for k in range(3))
+            dmask = sec_ref[6, :]
+            ss_base = tuple(sec_ref[10 + k, :] for k in range(3))
+            ss_alb = tuple(sec_ref[13 + k, :] for k in range(3))
+            smask = sec_ref[16, :]
+
+            def pick3(*pairs):
+                # disjoint scalar masks -> masked sum via where-chain
+                out = jnp.zeros((tile_r,), jnp.float32)
+                for m, v in pairs:
+                    out = jnp.where(m, v, out)
+                return out
+
+            for k in range(3):
+                alb_c = mat[MP_ALBEDO + k]
+                f0 = mat[MP_SPECULAR + k]
+                fres = jnp.where(spec_active, f0 + (1.0 - f0) * pw5, 0.0)
+                ss = refl * ratio * fres  # specular scale (masked by fres)
+                a_t = pick3(
+                    (m_full,
+                     mat[MP_EMISSIVE + k] * mat[MP_ESTR] + ss * ss_base[k]),
+                    (m_fres, fres),
+                    (m_ispec, ss * ss_base[k]),
+                )
+                b_t = pick3(
+                    (m_full,
+                     alb_c * (direct[k] + factor_eff * sd_base[k]) / M_PI),
+                    (m_dir, alb_c * direct[k] / M_PI),
+                    (m_alb, alb_c),
+                    (m_idiff, alb_c * factor_eff * sd_base[k] / M_PI),
+                )
+                c_t = jnp.where(
+                    m_full | m_idiff,
+                    alb_c * factor_eff * sd_alb[k] / M_PI, 0.0,
+                )
+                d_t = jnp.where(m_full | m_ispec, ss * ss_alb[k], 0.0)
+                wd_t = jnp.where(
+                    m_full | m_idiff,
+                    alb_c * factor_eff / M_PI * dmask, 0.0,
+                )
+                ws_t = jnp.where(m_full | m_ispec, ss * smask, 0.0)
+                out_ref[k, :] = _sanitize(jnp.where(hit, a_t, 0.0))
+                out_ref[4 + k, :] = diff_dir[k]
+                out_ref[7 + k, :] = _sanitize(jnp.where(hit, wd_t, 0.0))
+                out_ref[10 + k, :] = phong_dir[k]
+                out_ref[13 + k, :] = _sanitize(jnp.where(hit, ws_t, 0.0))
+                out_ref[16 + k, :] = _sanitize(jnp.where(hit, b_t, 0.0))
+                out_ref[19 + k, :] = _sanitize(jnp.where(hit, c_t, 0.0))
+                out_ref[22 + k, :] = _sanitize(jnp.where(hit, d_t, 0.0))
+            out_ref[3, :] = hit.astype(jnp.float32)
+            out_ref[25, :] = uv_p[0]
+            out_ref[26, :] = uv_p[1]
+            out_ref[27, :] = uv_p[2]
+            out_ref[28, :] = sec_ref[7, :]
+            out_ref[29, :] = sec_ref[8, :]
+            out_ref[30, :] = sec_ref[9, :]
+            out_ref[31, :] = sec_ref[17, :]
+            out_ref[32, :] = sec_ref[18, :]
+            out_ref[33, :] = sec_ref[19, :]
+            for r in range(34, TEX_ROWS):
+                out_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
+            return
+
         wd = []
         ws = []
         for k in range(3):
@@ -886,20 +1169,25 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     from ..scene.lights import light_counts
 
-    if "textures" in scene:
-        # Textured albedo needs per-hit UV gathers into an arbitrarily
-        # large table; textured scenes take the wavefront path.
-        return False
-    if light_counts(scene["lights"]) != (1, 1, 0):
+    d_n, p_n, a_n = light_counts(scene["lights"])
+    if d_n > 1 or p_n > 1 or a_n > 1 or d_n + p_n + a_n == 0:
+        # up to one light per group: the multi-direction occlusion walk
+        # carries 1 dir + 1 point + AREA_LIGHT_SAMPLES area rays per lane
         return False
     if int(scene["materials"]["albedo"].shape[0]) > MP_MAX_MATERIALS:
         return False
+    if "textures" in scene:
+        # Albedo textures run TEX-deferred (progressive only): the kernel
+        # needs the corner-UV attr lanes (mt_attr_lanes >= 2, pre-round-3
+        # cached packs lack them); env defers alongside, any kind.
+        if int(scene["bvh"]["mt_attr_lanes"]) < 2:
+            return False
+        return mode == "progressive"
     kind = int(scene["env"]["kind"])
     if kind in (2, 3):
         # Texture env (latlong/cubemap): progressive runs the kernel in
         # env_deferred mode — bounce dirs + weights out, env resolved with
-        # XLA gathers outside (one sample per launch). Realtime keeps the
-        # wavefront path for these.
+        # XLA gathers outside. Realtime keeps the wavefront path for these.
         return mode == "progressive"
     return kind in (0, 1)
 
@@ -934,19 +1222,24 @@ def _ft_dispatch(
     full_height: int = 0,
     env_deferred: bool = False,
     half_gate: int = 0,
+    tex_deferred: bool = False,
 ):
     """Host side: packs constants/cameras/seeds/materials and launches the
     fused traversal kernel over (tiles, samples). Returns (out rows, inv).
 
-    env_deferred (progressive, S=1): texture env kinds — the kernel skips
-    every env term and returns bounce dirs + per-channel env weights in
-    rows 3-15; the caller resolves env with XLA gathers and combines.
+    env_deferred (progressive): texture env kinds — the kernel skips every
+    env term and returns bounce dirs + per-channel env weights in rows
+    3-15 of a per-sample block; the caller resolves env with XLA gathers
+    and combines. tex_deferred additionally defers the albedo-texture
+    samples (TEX_ROWS-row per-sample blocks; see _make_ft_kernel).
 
     py0/full_height: row-sharded launch renders rows [py0, py0+height) of a
     full_height image with global NDC + seeds (parallel/render.py)."""
+    from ..scene.lights import light_counts
     from ..scene.scene import BVH_LEAF_SIZE
 
     bvh = scene["bvh"]
+    rig = light_counts(scene["lights"])
     s_count = int(cameras["frame_count"].shape[0])
     n = width * height
     r_pad = -(-n // tile_r) * tile_r
@@ -1015,6 +1308,43 @@ def _ft_dispatch(
         memory_space=pltpu.SMEM if smem_nodes else pltpu.VMEM,
     )
 
+    # area-light rig: the SMEM light pack + the stratified [0,1)^2 sample
+    # draws, precomputed with the oracle's exact decoupled TEA chain
+    # (trace/integrator._direct_lighting: aseed = initRand(seed, golden),
+    # 2 LCG draws per sample, 2x2 stratification)
+    area_inputs = []
+    area_specs = []
+    if rig[2]:
+        import math as _math
+
+        area_pack = pack_area_consts(scene)
+        aseed = rng.init_rand(
+            seeds[:, 0, :], jnp.uint32(0x9E3779B9)
+        )  # [S, r_pad]
+        su = max(int(_math.isqrt(AREA_LIGHT_SAMPLES)), 1)
+        sv = AREA_LIGHT_SAMPLES // su
+        draw_rows = []
+        for j in range(AREA_LIGHT_SAMPLES):
+            aseed, r0, r1 = rng.next_rand2(aseed)
+            if j < su * sv:
+                r0 = (jnp.float32(j % su) + r0) / su
+                r1 = (jnp.float32(j // su % sv) + r1) / sv
+            draw_rows += [r0, r1]
+        adraws = jnp.stack(draw_rows, axis=1)  # [S, 2*A_SAMPLES, r_pad]
+        area_inputs = [area_pack, adraws]
+        area_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 2 * AREA_LIGHT_SAMPLES, tile_r),
+                lambda i, s: (s, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+
+    defer = env_deferred or tex_deferred
+    out_rows = TEX_ROWS if tex_deferred else (
+        16 if (realtime or env_deferred) else 8
+    )
     out = pl.pallas_call(
         _make_ft_kernel(
             K,
@@ -1029,11 +1359,14 @@ def _ft_dispatch(
             full_height=full_height,
             env_deferred=env_deferred,
             half_gate=half_gate,
+            rig=rig,
+            tex_deferred=tex_deferred,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            *area_specs,
             nodes_spec,
             pl.BlockSpec(
                 (16, MP_MAX_MATERIALS),
@@ -1045,18 +1378,17 @@ def _ft_dispatch(
             ),
             mt_spec,
         ],
-        # env_deferred: every sample s writes its OWN 16-row block (dirs +
-        # weights differ per sample), so the launch still amortizes dispatch
-        # overhead across S samples; otherwise samples accumulate into one
-        # shared block.
+        # deferred modes: every sample s writes its OWN out-row block (dirs,
+        # weights and UVs differ per sample), so the launch still amortizes
+        # dispatch overhead across S samples; otherwise samples accumulate
+        # into one shared block.
         out_specs=pl.BlockSpec(
-            (16 if (realtime or env_deferred) else 8, tile_r),
-            (lambda i, s: (s, i)) if env_deferred else (lambda i, s: (0, i)),
+            (out_rows, tile_r),
+            (lambda i, s: (s, i)) if defer else (lambda i, s: (0, i)),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 * s_count if env_deferred
-             else (16 if realtime else 8), r_pad),
+            (out_rows * s_count if defer else out_rows, r_pad),
             jnp.float32,
         ),
         scratch_shapes=[
@@ -1064,13 +1396,14 @@ def _ft_dispatch(
             pltpu.SMEM((4,), jnp.int32),
             pltpu.VMEM((2, K, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((16, tile_r), jnp.float32),
-            pltpu.VMEM((8, tile_r), jnp.float32),
+            pltpu.VMEM((32, tile_r), jnp.float32),
+            pltpu.VMEM((24 if tex_deferred else 8, tile_r), jnp.float32),
         ],
         interpret=interpret,
     )(
         cam_pack,
         const_pack,
+        *area_inputs,
         nodes,
         mat_pack,
         seeds,
@@ -1114,20 +1447,22 @@ def _ft_progressive_deferred_impl(
     scene, options, cameras, width, height, env_kind, interpret,
     tile_r, block_w, py0=None, full_height=0, half_gate=0,
 ):
-    """Deferred-env sample sum: ONE kernel launch renders all S samples
-    (each sample owns a 16-row out block: env-free color + hit + bounce
-    dirs + env weights), then XLA env gathers resolve and combine per
-    sample. Returns the [H, W, 3] SUM over samples."""
+    """Deferred sample sum: ONE kernel launch renders all S samples (each
+    sample owns its out-row block), then XLA gathers resolve the deferred
+    env — and, for textured scenes, the three albedo-texture samples — and
+    combine per sample. Returns the [H, W, 3] SUM over samples."""
     from ..core.camera import primary_ray_grid
     from ..scene.envmap import sample_environment
 
+    tex = "textures" in scene
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
-        env_deferred=True, half_gate=half_gate,
+        env_deferred=not tex, tex_deferred=tex, half_gate=half_gate,
     )
     s_count = int(cameras["frame_count"].shape[0])
     env = scene["env"]
+    s_rows = TEX_ROWS if tex else 16
 
     def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
         n2 = jnp.sum(v * v, axis=-1, keepdims=True)
@@ -1146,24 +1481,48 @@ def _ft_progressive_deferred_impl(
 
     total = None
     for si in range(s_count):
-        base = 16 * si
+        base = s_rows * si
 
         def rows3(r0, base=base):
             return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
 
-        hit = _unperm(out[base + 3 : base + 4], inv)[:, 0] > 0.5
+        def row1(r0, base=base):
+            return _unperm(out[base + r0 : base + r0 + 1], inv)[:, 0]
+
+        hit = row1(3) > 0.5
         e_d = sample_environment(
             env, safe_dirs(rows3(4)), static_kind=env_kind
         )
         e_s = sample_environment(
             env, safe_dirs(rows3(10)), static_kind=env_kind
         )
-        part = (
-            rows3(0)
-            + jnp.where(hit[:, None], 0.0, e_p)
-            + rows3(7) * e_d
-            + rows3(13) * e_s
-        )
+        if tex:
+            from ..scene.textures import sample_albedo
+
+            def tex_at(uv_row, mid_row):
+                uv = jnp.stack([row1(uv_row), row1(uv_row + 1)], axis=-1)
+                mid = row1(mid_row).astype(jnp.int32)
+                return sample_albedo(scene["textures"], mid, uv)
+
+            tex_p = tex_at(25, 27)
+            tex_d = tex_at(28, 30)
+            tex_s = tex_at(31, 33)
+            part = (
+                rows3(0)  # A
+                + tex_p * rows3(16)  # B
+                + tex_p * tex_d * rows3(19)  # C
+                + tex_s * rows3(22)  # D
+                + tex_p * rows3(7) * e_d
+                + rows3(13) * e_s
+                + jnp.where(hit[:, None], 0.0, e_p)
+            )
+        else:
+            part = (
+                rows3(0)
+                + jnp.where(hit[:, None], 0.0, e_p)
+                + rows3(7) * e_d
+                + rows3(13) * e_s
+            )
         total = part if total is None else total + part
     return total.reshape(height, width, 3)
 
@@ -1181,13 +1540,15 @@ def fused_traverse_progressive_sum(
 ) -> jnp.ndarray:
     """Sum of S progressive samples via in-kernel BVH traversal. [H, W, 3].
 
-    Texture env kinds (2/3) run env-deferred: one kernel launch per sample
-    (dirs+weights out, env resolved by XLA gathers), summed here.
+    Texture env kinds (2/3) and albedo-textured scenes run DEFERRED: one
+    kernel launch renders all S samples (per-sample out blocks carrying
+    bounce dirs, UVs and combination coefficients); the env / albedo
+    gathers resolve outside and are summed here.
 
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
     image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w, half_gate = _ft_knobs()
-    if env_kind in (2, 3):
+    if env_kind in (2, 3) or "textures" in scene:
         return _ft_progressive_deferred_impl(
             scene, options, cameras, width, height, env_kind, interpret,
             tile_r, block_w, py0, full_height, half_gate,

@@ -103,6 +103,17 @@ def pack_for_traversal(
     mt_rows[:s, 64:74] = np.where(
         valid[:, None], attr_all[0:10, src].T, 0.0
     )
+    # Textured scenes: lanes 74..79 carry the corner UVs (uv0/uv1/uv2 x
+    # (u,v)) so the fused traversal megakernel's TEX-deferred mode can
+    # interpolate hit UVs in-kernel (ops/fused_traverse_pallas.py).
+    attr_lanes = 1
+    if "uv0" in scene:
+        uvs = np.concatenate(
+            [np.asarray(scene[k], np.float32) for k in ("uv0", "uv1", "uv2")],
+            axis=1,
+        )  # [T, 6]
+        mt_rows[:s, 74:80] = np.where(valid[:, None], uvs[src], 0.0)
+        attr_lanes = 2
 
     m_pad = max(-(-m // 128) * 128, 128)
     bvh_nodes = np.zeros((8, m_pad), np.float32)
@@ -146,8 +157,9 @@ def pack_for_traversal(
         "slot_tri": jnp.asarray(slot_tri_pad),
         # version marker: mt_rows lanes 64..73 carry per-slot attributes
         # (consumed by ops/fused_traverse_pallas; absent in pre-round-3
-        # cached scene packs, which the supports gate rejects)
-        "mt_attr_lanes": jnp.asarray(1, jnp.int32),
+        # cached scene packs, which the supports gate rejects); 2 = the
+        # corner-UV lanes 74..79 are also present (textured scenes)
+        "mt_attr_lanes": jnp.asarray(attr_lanes, jnp.int32),
         "leaf_size": leaf_size,
     }
     if attr_sorted is not None:

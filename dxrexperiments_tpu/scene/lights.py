@@ -18,6 +18,13 @@ import numpy as np
 DEFAULT_POINT_COLOR = (0.2, 0.8, 0.6, 2.0)
 DEFAULT_DIR_COLOR = (0.9, 0.9, 0.9, 1.0)
 
+# Stratified samples drawn on each area light per shading point (soft
+# shadows). 4 = a 2x2 stratum grid; BEYOND-reference (the DXR rig has no
+# area lights) so no parity constraint pins the value. Consumed by both the
+# wavefront integrator (_direct_lighting) and the fused traversal megakernel
+# (ops/fused_traverse_pallas.py) — the two paths must agree draw-for-draw.
+AREA_LIGHT_SAMPLES = 4
+
 
 def directional_light(forward_dir, color=DEFAULT_DIR_COLOR) -> dict:
     return {

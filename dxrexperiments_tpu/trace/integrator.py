@@ -396,10 +396,9 @@ def _interpolate_hit(scene: dict, hits: dict, origins, directions):
 # --------------------------------------------------------------------------- #
 # Lights (RaytracingCommon.hlsli:126-147)
 # --------------------------------------------------------------------------- #
-# Stratified samples drawn on each area light per shading point (soft
-# shadows). 4 = a 2x2 stratum grid; BEYOND-reference (the DXR rig has no
-# area lights) so no parity constraint pins the value.
-AREA_LIGHT_SAMPLES = 4
+# Stratified area-light sample count — shared with the fused traversal
+# megakernel so both paths agree draw-for-draw (scene/lights.py).
+from ..scene.lights import AREA_LIGHT_SAMPLES  # noqa: E402  (re-export)
 
 
 def _direct_lighting(

@@ -262,6 +262,134 @@ def test_ft_hbm_dma_variant(monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def area_rig():
+    from dxrexperiments_tpu.scene.lights import area_light
+
+    return {
+        "dir": [directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.3))],
+        "point": [],
+        "area": [area_light(
+            (-0.4, 1.96, -0.4), (0.8, 0, 0), (0, 0, 0.8),
+            (1.0, 0.9, 0.7, 4.0),
+        )],
+    }
+
+
+def cornell_area(textured=False, env="gradient"):
+    mesh, materials = cornell_box(
+        glossy_tall_box=True, textured_floor=textured
+    )
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = area_rig()
+    if env == "gradient":
+        sc.environment = envmap.gradient_env()
+    else:
+        rs = np.random.default_rng(3)
+        sc.environment = envmap.cubemap_env(
+            rs.uniform(0, 2, (6, 8, 8, 3)).astype(np.float32), strength=1.3
+        )
+    return sc.build(accel="bvh")
+
+
+@pytest.mark.parametrize("opts", [{}, {"debug": 2}, {"no_indirect_diffuse": True}])
+def test_ft_area_light_rig(opts):
+    """1 dir + 1 area rig: the area light's stratified soft-shadow rays ride
+    the fused kernel's multi-direction occlusion walk; draws come from the
+    oracle's decoupled TEA chain bit-exactly. Residual = knife-edge
+    traversal-vs-brute tie-breaks only (median 0)."""
+    scene = cornell_area()
+    options = default_options(**opts)
+    cam = cam_stack([7], jitters=[(0.3 / W, -0.2 / H)])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want, frac=0.01)
+
+
+def test_ft_area_light_direct_only():
+    """Direct-lighting-only view isolates the in-kernel area estimator
+    against the wavefront traversal path (same BVH visit order)."""
+    scene = cornell_area()
+    options = default_options(show_direct_lighting_only=True)
+    cam = cam_stack([3])[0]
+    got = fused_one(scene, options, cam)
+    want = render_sample(
+        scene, options, cam, W, H, mode="progressive",
+        impl="pallas_interpret", env_kind=int(scene["env"]["kind"]),
+    )["color"]
+    assert_images_match(got, want, frac=0.01)
+
+
+def test_ft_area_light_realtime():
+    scene = cornell_area()
+    opts = default_options()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    camp = camera_params(cam, jitter=(0.003, -0.002), frame_count=5)
+    assert ftp.supports_fused_traverse(scene, "realtime", False)
+    ref = render_sample(
+        scene, opts, camp, W, H, mode="realtime", jitter_scale=10.0,
+        impl="jnp",
+    )
+    got = ftp.fused_traverse_realtime_outputs(
+        scene, opts, camp, W, H, int(scene["env"]["kind"]), interpret=True
+    )
+    for k in ("color", "direct", "indirect_specular"):
+        diff = np.abs(np.asarray(got[k]) - np.asarray(ref[k]))
+        bad = (diff > 1e-3).reshape(diff.shape[0] * diff.shape[1], -1)
+        assert bad.any(axis=-1).mean() <= 0.01, k
+        assert float(np.median(diff)) < 1e-5, k
+
+
+TEX_OPTION_CASES = [
+    {},
+    {"debug": 2},
+    {"no_indirect_diffuse": True},
+    {"show_gbuffer_albedo_only": True},
+    {"show_indirect_diffuse_only": True},
+    {"show_indirect_specular_only": True},
+]
+
+
+@pytest.mark.parametrize("opts", TEX_OPTION_CASES)
+def test_ft_tex_deferred_matches_oracle(opts):
+    """Albedo textures via the TEX-deferred fused path (BASELINE config 2):
+    the kernel emits UVs + per-channel coefficients, the host resolves the
+    quad-packed albedo gathers — sample-for-sample parity with the jnp
+    oracle including AOV debug modes, under a cubemap env (env deferral
+    composes)."""
+    scene = cornell_area(textured=True, env="cubemap")
+    options = default_options(**opts)
+    cam = cam_stack([5], jitters=[(0.002, -0.001)])[0]
+    got = np.asarray(fused_one(scene, options, cam))
+    want = np.asarray(oracle_one(scene, options, cam))
+    diff = np.abs(got - want)
+    assert (diff.max(axis=-1) > 1e-3).mean() <= 0.01
+    assert float(np.median(diff)) < 1e-5
+
+
+def test_ft_tex_deferred_multi_sample_sum():
+    scene = cornell_area(textured=True, env="gradient")
+    options = default_options()
+    cams = cam_stack([3, 9], jitters=[(0.001, 0.002), (-0.002, 0.001)])
+    stacked = jax.tree.map(
+        lambda *x: jax.numpy.stack(x), *[c for c in cams]
+    )
+    total = np.asarray(
+        ftp.fused_traverse_progressive_sum(
+            scene, options, stacked, W, H, int(scene["env"]["kind"]),
+            interpret=True,
+        )
+    )
+    single = sum(np.asarray(fused_one(scene, options, c)) for c in cams)
+    # rtol: the S-in-one-launch and S=1 host combines fuse differently in
+    # XLA; bright area-lit pixels (~18.0) see ~2e-5 relative reassociation
+    np.testing.assert_allclose(total, single, rtol=1e-4, atol=1e-5)
+
+
 def test_supports_fused_traverse_gate():
     scene = cornell_bvh()
     assert ftp.supports_fused_traverse(scene, "progressive", False)
@@ -281,6 +409,25 @@ def test_supports_fused_traverse_gate():
         bvh={k: v for k, v in scene["bvh"].items() if k != "mt_attr_lanes"},
     )
     assert not ftp.supports_fused_traverse(stale, "progressive", False)
+    # area-light rigs ride the fused path; 2-of-a-kind rigs don't
+    area_scene = cornell_area()
+    assert ftp.supports_fused_traverse(area_scene, "progressive", False)
+    assert ftp.supports_fused_traverse(area_scene, "realtime", False)
+    two_dir = dict(
+        scene,
+        lights={"dir": [scene["lights"]["dir"], scene["lights"]["dir"]]},
+    )
+    assert not ftp.supports_fused_traverse(two_dir, "progressive", False)
+    # textured scenes: progressive tex-deferred yes, realtime no; packs
+    # without the UV lanes (mt_attr_lanes < 2) are rejected
+    tex_scene = cornell_area(textured=True)
+    assert int(tex_scene["bvh"]["mt_attr_lanes"]) == 2
+    assert ftp.supports_fused_traverse(tex_scene, "progressive", False)
+    assert not ftp.supports_fused_traverse(tex_scene, "realtime", False)
+    tex_stale = dict(
+        tex_scene, bvh=dict(tex_scene["bvh"], mt_attr_lanes=np.int32(1))
+    )
+    assert not ftp.supports_fused_traverse(tex_stale, "progressive", False)
 
 
 def _tex_env_scene(kind):
