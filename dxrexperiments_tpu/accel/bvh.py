@@ -247,19 +247,32 @@ def to_node_arrays(bvh: dict) -> dict:
 
 
 def build_bvh_sah(
-    v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, num_tris: int, leaf_size: int = 8
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    num_tris: int,
+    leaf_size: int = 8,
+    spatial: bool | None = None,
 ) -> dict | None:
     """Maximum-quality binned-SAH build via the native C++ builder
-    (native/sah_bvh.cpp). Returns explicit node arrays, or None when the
-    native toolchain is unavailable (callers fall back to the Morton build).
-    """
+    (native/sah_bvh.cpp), with SBVH spatial splits by default (straddling
+    triangles clipped + referenced by several leaves — len(order) may exceed
+    num_tris; every consumer resolves slots through `order`). Returns
+    explicit node arrays, or None when the native toolchain is unavailable
+    (callers fall back to the Morton build). spatial=None reads the
+    SBVH_SPATIAL env knob (default on; set 0 for object-split-only A/B)."""
+    import os
+
     from ..utils import native
 
+    if spatial is None:
+        spatial = os.environ.get("SBVH_SPATIAL", "1") != "0"
     res = native.build_sah_native(
         np.asarray(v0, np.float32)[:num_tris],
         np.asarray(e1, np.float32)[:num_tris],
         np.asarray(e2, np.float32)[:num_tris],
         leaf_size,
+        spatial=spatial,
     )
     if res is None:
         return None

@@ -78,9 +78,11 @@ def get_lib():
             np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS"),
             ctypes.c_int64,
             ctypes.c_int32,
+            ctypes.c_int32,
         ]
-        lib.sah_num_nodes.restype = ctypes.c_int64
-        lib.sah_num_nodes.argtypes = [ctypes.c_void_p]
+        for fn in ("sah_num_nodes", "sah_num_refs"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
         lib.sah_copy.argtypes = [ctypes.c_void_p] + [
             np.ctypeslib.ndpointer(dtype=d, flags="C_CONTIGUOUS")
             for d in (np.float32, np.float32, np.int32, np.int32)
@@ -119,9 +121,17 @@ def parse_obj_native(path: str):
         lib.obj_free(h)
 
 
-def build_sah_native(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, leaf_size: int = 8):
-    """Binned-SAH BVH. Returns (nodes_lo [M,3], nodes_hi [M,3], child [M,2],
-    order [T]) or None if the native lib is unavailable."""
+def build_sah_native(
+    v0: np.ndarray,
+    e1: np.ndarray,
+    e2: np.ndarray,
+    leaf_size: int = 8,
+    spatial: bool = True,
+):
+    """Binned-SAH/SBVH BVH. Returns (nodes_lo [M,3], nodes_hi [M,3],
+    child [M,2], order [R]) or None if the native lib is unavailable.
+    spatial=True enables SBVH spatial splits: straddling triangles are
+    referenced by several leaves, so R >= T (budgeted at 1.5x T)."""
     lib = get_lib()
     if lib is None:
         return None
@@ -129,13 +139,14 @@ def build_sah_native(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, leaf_size: 
     e1 = np.ascontiguousarray(e1, np.float32)
     e2 = np.ascontiguousarray(e2, np.float32)
     n = len(v0)
-    h = lib.sah_build(v0, e1, e2, n, leaf_size)
+    h = lib.sah_build(v0, e1, e2, n, leaf_size, 1 if spatial else 0)
     try:
         m = lib.sah_num_nodes(h)
+        r = lib.sah_num_refs(h)
         nodes_lo = np.empty((m, 3), np.float32)
         nodes_hi = np.empty((m, 3), np.float32)
         child = np.empty((m, 2), np.int32)
-        order = np.empty((n,), np.int32)
+        order = np.empty((r,), np.int32)
         lib.sah_copy(h, nodes_lo, nodes_hi, child, order)
         return nodes_lo, nodes_hi, child, order
     finally:

@@ -346,10 +346,10 @@ def test_ft_area_light_realtime():
 
 TEX_OPTION_CASES = [
     {},
-    {"debug": 2},
-    {"no_indirect_diffuse": True},
-    {"show_gbuffer_albedo_only": True},
-    {"show_indirect_diffuse_only": True},
+    pytest.param({"debug": 2}, marks=pytest.mark.slow),
+    pytest.param({"no_indirect_diffuse": True}, marks=pytest.mark.slow),
+    pytest.param({"show_gbuffer_albedo_only": True}, marks=pytest.mark.slow),
+    pytest.param({"show_indirect_diffuse_only": True}, marks=pytest.mark.slow),
     {"show_indirect_specular_only": True},
 ]
 
@@ -371,6 +371,7 @@ def test_ft_tex_deferred_matches_oracle(opts):
     assert float(np.median(diff)) < 1e-5
 
 
+@pytest.mark.slow
 def test_ft_tex_deferred_multi_sample_sum():
     scene = cornell_area(textured=True, env="gradient")
     options = default_options()
@@ -454,7 +455,13 @@ def _tex_env_scene(kind):
 
 @pytest.mark.parametrize("kind", ["latlong", "cubemap"])
 @pytest.mark.parametrize(
-    "opts", [{}, {"debugView": 3}, {"debugView": 4}, {"sampling": 1}]
+    "opts",
+    [
+        {},
+        pytest.param({"debugView": 3}, marks=pytest.mark.slow),
+        pytest.param({"debugView": 4}, marks=pytest.mark.slow),
+        pytest.param({"sampling": 1}, marks=pytest.mark.slow),
+    ],
 )
 def test_ft_env_deferred_matches_oracle(kind, opts):
     """Texture env kinds via the env-DEFERRED fused path: the kernel emits
@@ -472,6 +479,7 @@ def test_ft_env_deferred_matches_oracle(kind, opts):
     np.testing.assert_allclose(got[agree], want[agree], atol=1e-3)
 
 
+@pytest.mark.slow
 def test_ft_env_deferred_multi_sample_sum():
     scene = _tex_env_scene("latlong")
     options = default_options()

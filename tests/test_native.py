@@ -72,9 +72,10 @@ def test_sah_bvh_structure_and_traversal():
     v0 = np.asarray(data["v0"])
     e1 = np.asarray(data["e1"])
     e2 = np.asarray(data["e2"])
-    nodes = bvh_mod.build_bvh_sah(v0, e1, e2, n, leaf_size=8)
+    nodes = bvh_mod.build_bvh_sah(v0, e1, e2, n, leaf_size=8, spatial=False)
     assert nodes is not None
-    # Every triangle appears exactly once across leaves.
+    # Without spatial splits every triangle appears exactly once across
+    # leaves (spatial=True may duplicate straddling references).
     child = nodes["child"]
     leaves = child[:, 0] < 0
     covered = []
@@ -136,6 +137,55 @@ def test_implicit_to_node_arrays_roundtrip():
 
 
 @needs_native
+@needs_native
+def test_sbvh_spatial_splits_correct_and_tighter():
+    """Default (spatial-split SBVH) build: straddling triangles may be
+    referenced by several leaves with CLIPPED boxes — closest hits must
+    still match brute force exactly, every triangle stays reachable, and
+    the duplication budget (1.5x) holds."""
+    mesh = random_triangle_soup(1500, seed=11)
+    sc = Scene()
+    sc.add_model(mesh)
+    data = sc.build()
+    n = int(data["num_tris"])
+    v0, e1, e2 = (np.asarray(data[k]) for k in ("v0", "e1", "e2"))
+    nodes = bvh_mod.build_bvh_sah(v0, e1, e2, n, leaf_size=8, spatial=True)
+    assert nodes is not None
+    order = nodes["order"]
+    assert len(order) <= n + n // 2  # duplication budget
+    assert set(order.tolist()) == set(range(n))  # every tri reachable
+
+    # node boxes contain their children (clipped refs shrink, never grow)
+    child = nodes["child"]
+    internal = np.nonzero(child[:, 0] >= 0)[0]
+    for m in internal:
+        for c in child[m]:
+            assert (nodes["nodes_lo"][m] <= nodes["nodes_lo"][c] + 1e-6).all()
+            assert (nodes["nodes_hi"][m] >= nodes["nodes_hi"][c] - 1e-6).all()
+
+    from tests.test_bvh import scalar_mt
+
+    def tri_test(k, o, d):
+        return scalar_mt(
+            v0[k].astype(np.float64), e1[k].astype(np.float64),
+            e2[k].astype(np.float64), o, d,
+        )
+
+    rs = np.random.default_rng(7)
+    for _ in range(25):
+        o = rs.uniform(-12, 12, 3)
+        d = -o / np.linalg.norm(o)
+        t_sah, k_sah = bvh_mod.traverse_nodes_numpy(
+            nodes, tri_test, o, d, 1e-4, np.inf
+        )
+        best = (np.inf, -1)
+        for k in range(n):
+            t = tri_test(k, o, d)
+            if t is not None and 1e-4 < t < best[0]:
+                best = (t, k)
+        assert k_sah == best[1]
+
+
 def test_sah_quality_beats_morton_on_soup():
     """SAH should touch fewer nodes than the Morton median tree."""
     mesh = random_triangle_soup(2000, seed=9)
