@@ -4,7 +4,10 @@ Closest-hit of 262k camera-style rays against a random triangle soup
 (BASELINE config 5 spirit). Honest tunnel protocol: warm-up matmuls,
 compile, settle, best-of-3 with a scalar-readback fence per batch.
 
-Usage: python benchmarks/traversal_micro.py [n_tris] [kernels...]
+Usage: python benchmarks/traversal_micro.py [n_tris] [ray_kind] [leaf] [kernels]
+  kernels: comma list of binary | wide | fat | fatg<G> (sub-packet layout,
+  e.g. fatg4 = tile/4-lane gating granularity). SBVH_SPATIAL=0 disables
+  the builder's spatial splits for A/B.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ def main() -> None:
     from dxrexperiments_tpu.scene.procedural import random_triangle_soup
 
     n_tris = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
-    which = ["binary", "fat"]
+    which = sys.argv[4].split(",") if len(sys.argv) > 4 else ["binary", "fat"]
     leaf = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     n_rays = 512 * 512
 
@@ -89,13 +92,20 @@ def main() -> None:
     for _ in range(3):
         float(jnp.sum(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048))))
 
+    import functools
+
     fns = {
         "binary": traverse_pallas.traverse_closest,
         "wide": traverse_pallas.traverse8_closest,
         "fat": traverse_pallas.traverse_fat_closest,
     }
     for name in which:
-        fn = fns[name]
+        if name.startswith("fatg"):
+            fn = functools.partial(
+                traverse_pallas.traverse_fat_closest, group=int(name[4:])
+            )
+        else:
+            fn = fns[name]
 
         def run():
             return fn(packed, o, d, t_min=1e-4, leaf_size=leaf)

@@ -870,6 +870,285 @@ def _make_traverse8_kernel(K: int, cull: bool, occlusion: bool):
     return kernel
 
 
+def _make_traverse_fat_grouped_kernel(K: int, cull: bool, occlusion: bool,
+                                      G: int, common_origin: bool = False):
+    """Fat-node packet traversal with the SUB-PACKET ray layout
+    [8, G, R] (component c of sub-packet g at rays_ref[c, g, :], tile =
+    G*R rays): full-tile math (node slab tests, leaf-box liveness) runs on
+    [G, R] blocks — the same vreg area as the flat [1, tile] layout — while
+    each leaf's pair test runs PER SUB-PACKET behind `any(live[g])`, so the
+    gating granularity is R lanes instead of the 1024-lane Mosaic
+    broadcast floor that caps half_gate in _make_traverse_fat_kernel
+    (sub-packet rows sit at offset-0 lane slices, no sub-tile broadcast
+    needed). Recovers packet-union waste at ~12-15% per-leaf lane
+    utilization (the 200k-soup regime) IF the [K, R] pl.when bodies stay
+    above the profitable branch size — measured per G on hardware."""
+
+    def kernel(rays_ref, orig_ref, nodes_ref, mt_hbm, out_ref, stack_ref,
+               pend_ref, box_ref, mt_scratch, sem):
+        R = rays_ref.shape[2]
+        if common_origin:
+            o = [orig_ref[0, k] for k in range(3)]
+        else:
+            o = [rays_ref[k, :, :] for k in range(3)]  # [G, R]
+        d = [rays_ref[3 + k, :, :] for k in range(3)]
+        mom = [
+            o[1] * d[2] - o[2] * d[1],
+            o[2] * d[0] - o[0] * d[2],
+            o[0] * d[1] - o[1] * d[0],
+        ]
+        tmin = rays_ref[6, :, :]
+        tmax = rays_ref[7, :, :]
+        inv = [
+            1.0 / jnp.where(jnp.abs(d[k]) > 1e-12, d[k], 1e-12) for k in range(3)
+        ]
+
+        out_ref[:, :, :] = jnp.zeros_like(out_ref)
+        out_ref[0, :, :] = jnp.full((G, R), BIG, jnp.float32)
+        stack_ref[0] = 0
+
+        def run_lanes(slot, start, count, g):
+            """Pair-test + merge for sub-packet g ([1, R] ray rows)."""
+            og = o if common_origin else [rays_ref[k, g, :][None, :]
+                                          for k in range(3)]
+            dg = [rays_ref[3 + k, g, :][None, :] for k in range(3)]
+            mg = [x[g, :][None, :] for x in mom]
+            tn_g = rays_ref[6, g, :]
+            if occlusion:
+                valid, _, _, _, _ = _leaf_pair_test(
+                    mt_scratch.at[slot], og, dg, mg,
+                    tn_g, rays_ref[7, g, :], cull, count, K
+                )
+                occ = jnp.max(valid.astype(jnp.float32), axis=0)
+                out_ref[4, g, :] = jnp.maximum(out_ref[4, g, :], occ)
+                return
+            best = out_ref[0, g, :]
+            tx = jnp.minimum(rays_ref[7, g, :], best)
+            valid, ts, det_abs, us, vs = _leaf_pair_test(
+                mt_scratch.at[slot], og, dg, mg, tn_g, tx, cull, count, K
+            )
+            eps = jnp.float32(1e-12)
+            t_pair = jnp.where(valid, ts / jnp.maximum(det_abs, eps), BIG)
+            c_t = jnp.min(t_pair, axis=0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)
+            c_row = jnp.min(
+                jnp.where(t_pair == c_t[None, :], rows, jnp.int32(2**30)),
+                axis=0,
+            )
+            sel = (rows == c_row[None, :]).astype(jnp.float32)
+            inv_det = 1.0 / jnp.maximum(jnp.sum(det_abs * sel, axis=0), 1e-12)
+            c_u = jnp.sum(us * sel, axis=0) * inv_det
+            c_v = jnp.sum(vs * sel, axis=0) * inv_det
+            c_slot = (c_row + start).astype(jnp.float32)
+            better = c_t < best
+            out_ref[0, g, :] = jnp.where(better, c_t, best)
+            out_ref[1, g, :] = jnp.where(better, c_slot, out_ref[1, g, :])
+            out_ref[2, g, :] = jnp.where(better, c_u, out_ref[2, g, :])
+            out_ref[3, g, :] = jnp.where(better, c_v, out_ref[3, g, :])
+
+        def process_slot(slot):
+            start = pend_ref[2 * slot]
+            count = pend_ref[2 * slot + 1]
+            # leaf slab re-test at process time ([G, R] math, amortized
+            # across sub-packets); each sub-packet runs only if any lane
+            # is live for THIS leaf
+            tn = tmin
+            if occlusion:
+                tf = jnp.where(out_ref[4, :, :] > 0.5, -BIG, tmax)
+            else:
+                tf = jnp.minimum(tmax, out_ref[0, :, :])
+            for k in range(3):
+                t0 = (box_ref[slot, k] - o[k]) * inv[k]
+                t1 = (box_ref[slot, 3 + k] - o[k]) * inv[k]
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            live = tn <= tf  # [G, R]
+            for g in range(G):
+                @pl.when(jnp.any(live[g, :]))
+                def _run(g=g):
+                    run_lanes(slot, start, count, g)
+
+        def enqueue(ptr, meta, q, box):
+            start = ptr.astype(jnp.int32)
+            count = meta.astype(jnp.int32)
+            slot = q % 2
+            pend_ref[2 * slot] = start
+            pend_ref[2 * slot + 1] = count
+            for k in range(6):
+                box_ref[slot, k] = box[k]
+            row_start = pl.multiple_of(start, 8)
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(row_start, K), :],
+                mt_scratch.at[slot],
+                sem.at[slot],
+            ).start()
+
+            @pl.when(q >= 1)
+            def _process_prev():
+                prev = (q - 1) % 2
+                pltpu.make_async_copy(
+                    mt_hbm.at[pl.ds(0, K), :],
+                    mt_scratch.at[prev],
+                    sem.at[prev],
+                ).wait()
+                process_slot(prev)
+
+        def cond(carry):
+            sp, done, _q = carry
+            return (sp > 0) & ~done
+
+        def body(carry):
+            sp, _, q0 = carry
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            f = _node_fields(nodes_ref, node, rows=16)
+
+            best_t = out_ref[0, :, :]
+            tf_base = jnp.minimum(tmax, best_t)
+            if occlusion:
+                tf_base = jnp.where(out_ref[4, :, :] > 0.5, -BIG, tf_base)
+
+            hits = []
+            enters = []
+            for s in range(2):
+                lo = f[6 * s : 6 * s + 3]
+                hi = f[6 * s + 3 : 6 * s + 6]
+                tn = tmin
+                tf = tf_base
+                for k in range(3):
+                    t0 = (lo[k] - o[k]) * inv[k]
+                    t1 = (hi[k] - o[k]) * inv[k]
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                lane_hit = tn <= tf
+                hits.append(jnp.any(lane_hit))
+                enters.append(jnp.min(jnp.where(lane_hit, tn, BIG)))
+
+            ptr0, m0, ptr1, m1 = f[12], f[13], f[14], f[15]
+            leaf0 = hits[0] & (m0 > 0.5)
+            int0 = hits[0] & (m0 < -0.5)
+            leaf1 = hits[1] & (m1 > 0.5)
+            int1 = hits[1] & (m1 < -0.5)
+
+            q = q0
+
+            @pl.when(leaf0)
+            def _leaf0():
+                enqueue(ptr0, m0, q, [f[k] for k in range(6)])
+
+            q = q + jnp.where(leaf0, 1, 0)
+
+            @pl.when(leaf1)
+            def _leaf1():
+                enqueue(ptr1, m1, q, [f[6 + k] for k in range(6)])
+
+            q = q + jnp.where(leaf1, 1, 0)
+
+            both = int0 & int1
+            c0_near = enters[0] <= enters[1]
+            first = jnp.where(c0_near, ptr1, ptr0)
+            second = jnp.where(c0_near, ptr0, ptr1)
+
+            @pl.when(both)
+            def _push_both():
+                stack_ref[sp] = first.astype(jnp.int32)
+                stack_ref[sp + 1] = second.astype(jnp.int32)
+
+            only0 = int0 & ~int1
+            only1 = int1 & ~int0
+
+            @pl.when(only0)
+            def _push0():
+                stack_ref[sp] = ptr0.astype(jnp.int32)
+
+            @pl.when(only1)
+            def _push1():
+                stack_ref[sp] = ptr1.astype(jnp.int32)
+
+            new_sp = sp + jnp.where(both, 2, jnp.where(only0 | only1, 1, 0))
+            if occlusion:
+                done = (jnp.min(out_ref[4, :, :]) > 0.5) & (q == q0)
+            else:
+                done = jnp.bool_(False)
+            return new_sp, done, q
+
+        if occlusion:
+            dead = (
+                jnp.abs(rays_ref[3, :, :]) + jnp.abs(rays_ref[4, :, :])
+                + jnp.abs(rays_ref[5, :, :])
+            ) < 1e-30
+            out_ref[4, :, :] = jnp.where(dead, 2.0, out_ref[4, :, :])
+
+        _, _, q_final = jax.lax.while_loop(
+            cond, body, (jnp.int32(1), jnp.bool_(False), jnp.int32(0))
+        )
+
+        @pl.when(q_final >= 1)
+        def _drain():
+            prev = (q_final - 1) % 2
+            pltpu.make_async_copy(
+                mt_hbm.at[pl.ds(0, K), :],
+                mt_scratch.at[prev],
+                sem.at[prev],
+            ).wait()
+            process_slot(prev)
+
+        if occlusion:
+            out_ref[4, :, :] = jnp.where(
+                out_ref[4, :, :] > 1.5, 0.0, out_ref[4, :, :]
+            )
+        else:
+            t = out_ref[0, :, :]
+            hit = t < BIG
+            out_ref[0, :, :] = jnp.where(hit, t, -1.0)
+            out_ref[4, :, :] = hit.astype(jnp.float32)
+
+    return kernel
+
+
+def _call_fat_grouped(bvh, rays, r_pad, leaf_size, cull, occlusion,
+                      interpret, tile, group, origin=None):
+    """Dispatch the grouped-layout fat kernel: rays [8, r_pad] reshaped to
+    [8, r_pad//R, R] (R = tile//group); tile i's sub-packet g covers rays
+    [i*tile + g*R, i*tile + (g+1)*R)."""
+    R = tile // group
+    if origin is None:
+        orig = jnp.zeros((1, 8), jnp.float32)
+    else:
+        orig = jnp.concatenate(
+            [jnp.asarray(origin, jnp.float32).reshape(3),
+             jnp.zeros((5,), jnp.float32)]
+        )[None, :]
+    rays3 = rays.reshape(8, r_pad // R, R)
+    out = pl.pallas_call(
+        _make_traverse_fat_grouped_kernel(
+            leaf_size, cull, occlusion, group,
+            common_origin=origin is not None,
+        ),
+        grid=(r_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((8, group, R), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # shared origin scalars
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
+            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (8, group, R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((8, r_pad // R, R), jnp.float32),
+        scratch_shapes=[
+            pltpu.SMEM((MAX_STACK,), jnp.int32),
+            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SMEM((2, 8), jnp.float32),  # pending-leaf AABBs
+            pltpu.VMEM((2, leaf_size, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(rays3, orig, bvh["bvhf_nodes"], bvh["mt_rows"])
+    return out.reshape(8, r_pad)
+
+
 def _pack_rays(origins, directions, t_min, t_max, tile: int = TILE_R):
     r = origins.shape[0]
     r_pad = -(-r // tile) * tile
@@ -980,7 +1259,7 @@ def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
 @functools.partial(
     jax.jit,
     static_argnames=("leaf_size", "cull_backface", "interpret", "tile",
-                     "leaf_bestt", "half_gate", "common_origin"),
+                     "leaf_bestt", "half_gate", "common_origin", "group"),
 )
 def traverse_fat_closest(
     bvh: dict,
@@ -995,19 +1274,29 @@ def traverse_fat_closest(
     leaf_bestt: bool = False,
     half_gate: int = 2,
     common_origin: bool = False,
+    group: int = 0,
 ) -> dict:
     """Closest hit via fat-node front-to-back packet traversal.
 
     Same contract as traverse_closest. common_origin: caller asserts ALL
     origins are identical (primary pinhole rays) — the shared origin rides
     SMEM and per-pair/per-node origin work collapses to per-triangle
-    columns."""
+    columns. group > 1 selects the SUB-PACKET layout kernel
+    (_make_traverse_fat_grouped_kernel): per-leaf liveness gating at
+    tile/group lanes instead of half_gate's 1024-lane floor (half_gate /
+    leaf_bestt are ignored in that mode)."""
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
-    out = _call_fat(bvh, rays, r_pad, leaf_size, cull_backface, False,
-                    interpret, tile, leaf_bestt=leaf_bestt,
-                    half_gate=half_gate,
-                    origin=origins[0] if common_origin else None)
+    if group > 1:
+        out = _call_fat_grouped(
+            bvh, rays, r_pad, leaf_size, cull_backface, False, interpret,
+            tile, group, origin=origins[0] if common_origin else None,
+        )
+    else:
+        out = _call_fat(bvh, rays, r_pad, leaf_size, cull_backface, False,
+                        interpret, tile, leaf_bestt=leaf_bestt,
+                        half_gate=half_gate,
+                        origin=origins[0] if common_origin else None)
     out = out[:, :r]
     hit = out[4] > 0.5
     slot = jnp.clip(out[1].astype(jnp.int32), 0, bvh["slot_tri"].shape[0] - 1)
@@ -1023,7 +1312,8 @@ def traverse_fat_closest(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("leaf_size", "interpret", "tile", "half_gate")
+    jax.jit,
+    static_argnames=("leaf_size", "interpret", "tile", "half_gate", "group"),
 )
 def traverse_fat_any(
     bvh: dict,
@@ -1035,16 +1325,23 @@ def traverse_fat_any(
     interpret: bool = False,
     tile: int = TILE_R,
     half_gate: int = 2,
+    group: int = 0,
 ) -> jnp.ndarray:
     """Occlusion via fat-node packet traversal with all-occluded early exit.
 
     half_gate defaults to 2 (measured: occlusion 28.5 -> 26.4 ms, closest
     37.4 -> 30.7 ms on the 200k micro at the default 2048 tile); it
-    auto-disables at tiles whose halves aren't 1024-lane multiples."""
+    auto-disables at tiles whose halves aren't 1024-lane multiples.
+    group > 1 selects the sub-packet layout kernel instead (see
+    traverse_fat_closest)."""
     r = origins.shape[0]
     rays, r_pad = _pack_rays(origins, directions, t_min, t_max, tile)
-    out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret, tile,
-                    half_gate=half_gate)
+    if group > 1:
+        out = _call_fat_grouped(bvh, rays, r_pad, leaf_size, False, True,
+                                interpret, tile, group)
+    else:
+        out = _call_fat(bvh, rays, r_pad, leaf_size, False, True, interpret,
+                        tile, half_gate=half_gate)
     return out[4, :r] > 0.5
 
 

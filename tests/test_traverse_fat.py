@@ -170,3 +170,42 @@ def test_fat_variant_flags_agree(lb, hg):
         half_gate=hg,
     )
     np.testing.assert_array_equal(np.asarray(base_any), np.asarray(var_any))
+
+
+@pytest.mark.parametrize("group,co", [(2, False), (4, False), (4, True)])
+def test_fat_grouped_layout_agrees(group, co):
+    """The sub-packet layout kernel ([8, G, R] rays, per-sub-packet leaf
+    gating) is a pure relayout + pruning variant: hit-for-hit identical to
+    the flat fat kernel, closest and occlusion, incl. common_origin."""
+    mesh = random_triangle_soup(2000, seed=4, extent=10.0)
+    data, packed = build(mesh, leaf_size=16)
+    if co:
+        rs = np.random.default_rng(6)
+        o1 = np.array([0.0, 0.0, 24.0], np.float32)
+        o = jnp.asarray(np.broadcast_to(o1, (512, 3)).copy())
+        d = rs.normal(size=(512, 3)).astype(np.float32)
+        d[:, 2] -= 1.5
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        d = jnp.asarray(d)
+    else:
+        o, d = rays_for("soup", 512, seed=5)
+    base = traverse_pallas.traverse_fat_closest(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        leaf_bestt=False, half_gate=0, common_origin=co,
+    )
+    var = traverse_pallas.traverse_fat_closest(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        group=group, common_origin=co,
+    )
+    for k in ("hit", "t", "tri", "u", "v"):
+        np.testing.assert_allclose(
+            np.asarray(base[k]), np.asarray(var[k]), atol=0, err_msg=k
+        )
+    base_any = traverse_pallas.traverse_fat_any(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+    )
+    var_any = traverse_pallas.traverse_fat_any(
+        packed, o, d, t_min=1e-4, leaf_size=16, interpret=True, tile=512,
+        group=group,
+    )
+    np.testing.assert_array_equal(np.asarray(base_any), np.asarray(var_any))
