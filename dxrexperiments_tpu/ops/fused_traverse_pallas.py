@@ -36,10 +36,11 @@ Scope (supports_fused_traverse; wavefront path otherwise):
     area light's AREA_LIGHT_SAMPLES stratified soft-shadow rays join the
     shared multi-direction occlusion walk), <= 128 materials,
   * env kinds constant/gradient in-kernel; texture env kinds (latlong /
-    cubemap) and albedo TEXTURES via the DEFERRED modes (progressive): the
-    kernel emits bounce dirs, hit UVs + material ids and per-channel
-    combination coefficients, and the host resolves the env / quad-packed
-    albedo gathers outside (XLA gathers don't lower in Mosaic).
+    cubemap) via the DEFERRED env mode (progressive AND realtime) and
+    albedo TEXTURES via the tex-DEFERRED mode (progressive): the kernel
+    emits bounce dirs, hit UVs + material ids and per-channel combination
+    coefficients, and the host resolves the env / quad-packed albedo
+    gathers outside (XLA gathers don't lower in Mosaic).
 """
 
 from __future__ import annotations
@@ -173,7 +174,7 @@ def _make_ft_kernel(
     skips tile/half_gate lane sub-blocks that are all dead (missed box, or
     already resolved) — the traverse_pallas half_gate idea without the SMEM
     stash. Sub-blocks must be 1024-lane multiples (Mosaic broadcast)."""
-    assert not (realtime and (env_deferred or tex_deferred))
+    assert not (realtime and tex_deferred)
     assert half_gate <= 1 or resident
     d_count, p_count, a_count = rig
     defer_env = env_deferred or tex_deferred
@@ -980,7 +981,15 @@ def _make_ft_kernel(
         pw5 = jnp.power(1.0 - cosi, 5.0)
 
         if realtime:
+            # env_deferred (texture env kinds): rows 0-2 carry the HIT-only
+            # direct term (the host substitutes env(primary) on miss lanes
+            # itself), 10 the hit mask, 11-13 the specular bounce dir and
+            # 14-16 its per-channel env weight — the host resolves env with
+            # XLA gathers and assembles direct/indirect_specular/color
+            # (_ft_realtime_outputs_impl).
             out_ref[:, :] = jnp.zeros_like(out_ref)
+            if env_deferred:
+                smask = sec_ref[7, :]
             for k in range(3):
                 specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
                 f0 = mat[MP_SPECULAR + k]
@@ -988,13 +997,25 @@ def _make_ft_kernel(
                 albedo = mat[MP_ALBEDO + k]
                 da = albedo * direct[k] / M_PI
                 sa = refl * specular * fresnel
-                out_ref[k, :] = _sanitize(jnp.where(hit, da, env_primary[k]))
-                out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
-                out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
-                out_ref[10 + k, :] = _sanitize(
-                    jnp.where(hit, da + sa, env_primary[k])
-                )
+                if env_deferred:
+                    ws = refl * ratio * fresnel * smask
+                    out_ref[k, :] = _sanitize(jnp.where(hit, da, 0.0))
+                    out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
+                    out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
+                    out_ref[11 + k, :] = phong_dir[k]
+                    out_ref[14 + k, :] = _sanitize(jnp.where(hit, ws, 0.0))
+                else:
+                    out_ref[k, :] = _sanitize(
+                        jnp.where(hit, da, env_primary[k])
+                    )
+                    out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
+                    out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
+                    out_ref[10 + k, :] = _sanitize(
+                        jnp.where(hit, da + sa, env_primary[k])
+                    )
             out_ref[9, :] = jnp.where(hit, mat[MP_ROUGH], 0.0)
+            if env_deferred:
+                out_ref[10, :] = hit.astype(jnp.float32)
             return
 
         color = []
@@ -1185,10 +1206,11 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         return mode == "progressive"
     kind = int(scene["env"]["kind"])
     if kind in (2, 3):
-        # Texture env (latlong/cubemap): progressive runs the kernel in
+        # Texture env (latlong/cubemap): both pipelines run the kernel in
         # env_deferred mode — bounce dirs + weights out, env resolved with
-        # XLA gathers outside. Realtime keeps the wavefront path for these.
-        return mode == "progressive"
+        # XLA gathers outside (progressive per-sample blocks; realtime hit
+        # mask + spec dir/weight rows).
+        return True
     return kind in (0, 1)
 
 
@@ -1342,9 +1364,14 @@ def _ft_dispatch(
         ]
 
     defer = env_deferred or tex_deferred
-    out_rows = TEX_ROWS if tex_deferred else (
-        16 if (realtime or env_deferred) else 8
-    )
+    if tex_deferred:
+        out_rows = TEX_ROWS
+    elif realtime and env_deferred:
+        out_rows = 24  # AOV rows 0-9 + hit 10 + spec dir 11-13 + ws 14-16
+    elif realtime or env_deferred:
+        out_rows = 16
+    else:
+        out_rows = 8
     out = pl.pallas_call(
         _make_ft_kernel(
             K,
@@ -1570,23 +1597,64 @@ def _ft_realtime_outputs_impl(
     scene, options, camera, width, height, env_kind, interpret,
     tile_r, block_w, py0=None, full_height=0, half_gate=0,
 ):
+    deferred = env_kind in (2, 3)  # texture env: resolve gathers host-side
     cameras = jax.tree.map(lambda x: x[None], camera)
     out, inv = _ft_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
         py0=py0, full_height=full_height, half_gate=half_gate,
+        env_deferred=deferred,
     )
 
     def img3(r0):
         return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
 
     rough = _unperm(out[9:10], inv).reshape(height, width)
+    if not deferred:
+        return {
+            "direct": img3(0),
+            "indirect_specular": img3(3),
+            "albedo": img3(6),
+            "roughness": rough,
+            "color": img3(10),
+        }
+
+    # env-deferred combine (RealtimeRaytracing.hlsl miss->direct routing):
+    # direct gets env(primary) on miss lanes, indirect_specular gets
+    # ws * env(spec_dir), color = direct + indirect_specular.
+    from ..core.camera import primary_ray_grid
+    from ..scene.envmap import sample_environment
+
+    env = scene["env"]
+    hit = (
+        _unperm(out[10:11], inv)[:, 0].reshape(height, width, 1) > 0.5
+    )
+
+    def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
+        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+        up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+        return jnp.where(n2 > 1e-12, v, up)
+
+    # jitter only shifts ray ORIGINS (see _ft_progressive_deferred_impl),
+    # so these directions — and the env image — match the kernel's raygen
+    _, pdirs = primary_ray_grid(
+        camera, width, height, 10.0, row0=py0, full_height=full_height
+    )
+    e_p = sample_environment(
+        env, pdirs.reshape(-1, 3), static_kind=env_kind
+    ).reshape(height, width, 3)
+    sdirs = safe_dirs(_unperm(out[11:14], inv))
+    e_s = sample_environment(env, sdirs, static_kind=env_kind).reshape(
+        height, width, 3
+    )
+    direct = jnp.where(hit, img3(0), e_p)
+    ispec = img3(3) + _unperm(out[14:17], inv).reshape(height, width, 3) * e_s
     return {
-        "direct": img3(0),
-        "indirect_specular": img3(3),
+        "direct": direct,
+        "indirect_specular": ispec,
         "albedo": img3(6),
         "roughness": rough,
-        "color": img3(10),
+        "color": jnp.where(hit, img3(0) + ispec, e_p),
     }
 
 

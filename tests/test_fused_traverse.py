@@ -344,6 +344,32 @@ def test_ft_area_light_realtime():
         assert float(np.median(diff)) < 1e-5, k
 
 
+@pytest.mark.parametrize("kind", ["latlong", "cubemap"])
+def test_ft_realtime_env_deferred(kind):
+    """Texture env kinds on the REALTIME fused path (env-deferred: hit
+    mask + spec dir/weight rows out, env resolved host-side incl. the
+    miss->direct AOV routing) — AOV-for-AOV parity with the jnp oracle."""
+    scene = _tex_env_scene(kind)
+    assert ftp.supports_fused_traverse(scene, "realtime", False)
+    opts = default_options()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(W, H)
+    camp = camera_params(cam, jitter=(0.003, -0.002), frame_count=5)
+    ref = render_sample(
+        scene, opts, camp, W, H, mode="realtime", jitter_scale=10.0,
+        impl="jnp",
+    )
+    got = ftp.fused_traverse_realtime_outputs(
+        scene, opts, camp, W, H, int(scene["env"]["kind"]), interpret=True
+    )
+    for k in ("color", "direct", "indirect_specular", "albedo"):
+        diff = np.abs(np.asarray(got[k]) - np.asarray(ref[k]))
+        bad = (diff > 1e-3).reshape(diff.shape[0] * diff.shape[1], -1)
+        assert bad.any(axis=-1).mean() <= 0.01, k
+        assert float(np.median(diff)) < 1e-5, k
+
+
 TEX_OPTION_CASES = [
     {},
     pytest.param({"debug": 2}, marks=pytest.mark.slow),
@@ -401,9 +427,9 @@ def test_supports_fused_traverse_gate():
     lat = dict(
         scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32))
     )
-    # texture env kinds run env-DEFERRED: progressive yes, realtime no
+    # texture env kinds run env-DEFERRED on both pipelines
     assert ftp.supports_fused_traverse(lat, "progressive", False)
-    assert not ftp.supports_fused_traverse(lat, "realtime", False)
+    assert ftp.supports_fused_traverse(lat, "realtime", False)
     # pre-round-3 packs without the attr lanes are rejected
     stale = dict(
         scene,
