@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 import time
 
@@ -122,11 +123,25 @@ def build_scene(name: str) -> tuple[Scene, Camera]:
         )
         cam.set_eye_at_up((8.0, 7.0, 16.0), (0.0, 4.0, 0.0), (0.0, 1.0, 0.0))
         return sc, cam
-    if name in ("cornell", "cornell-glossy", "cornell-tex"):
+    if name in ("cornell", "cornell-glossy", "cornell-tex", "cornell-glass"):
         mesh, materials = cornell_box(
-            glossy_tall_box=(name == "cornell-glossy"),
+            glossy_tall_box=(name in ("cornell-glossy", "cornell-glass")),
             textured_floor=(name == "cornell-tex"),
         )
+        if name == "cornell-glass":
+            # tall box becomes GLASS — pair with --refraction for the
+            # beyond-reference transmission bounce (trace/integrator.py)
+            from ..scene.materials import MATERIAL_GLASS
+
+            materials[4] = dataclasses.replace(
+                materials[4],
+                albedo=(0.02, 0.02, 0.02, 1.0),
+                specular=(0.04, 0.04, 0.04, 1.0),
+                reflectivity=1.0,
+                roughness=0.0,
+                ior=1.5,
+                type=MATERIAL_GLASS,
+            )
         for m in materials:
             sc.add_material(m)
         sc.add_model(mesh)
@@ -317,7 +332,8 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument(
         "--scene", default="cornell",
-        help="cornell | cornell-glossy | cornell-tex (textured floor + area"
+        help="cornell | cornell-glossy | cornell-glass (pair with"
+        " --refraction) | cornell-tex (textured floor + area"
         " light) | soup:N | instanced:K | mesh file path",
     )
     ap.add_argument("--size", default="512x512")
@@ -332,6 +348,13 @@ def main(argv=None) -> int:
         help="realtime: temporal accumulation blend factor (e.g. 0.2)",
     )
     ap.add_argument("--ao-only", action="store_true")
+    ap.add_argument(
+        "--refraction",
+        action="store_true",
+        help="progressive: trace a transmission bounce through glass "
+        "materials (BEYOND-reference opt-in; the DXR app's glass only "
+        "reflects)",
+    )
     ap.add_argument(
         "--aov",
         default=None,
@@ -404,6 +427,7 @@ def main(argv=None) -> int:
         pipe = ProgressiveRaytracingPipeline(width, height, seed=args.seed)
         pipe.max_iterations = max(args.spp, 1)
         pipe.ao_only = args.ao_only
+        pipe.refraction = args.refraction
         if args.aov:
             key = {
                 "albedo": "show_gbuffer_albedo_only",

@@ -78,6 +78,7 @@ def make_progressive_step(
     samples_per_step: int = 1,
     impl: str = "auto",
     dynamic: bool = False,
+    refraction: bool = False,
 ):
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
@@ -103,14 +104,18 @@ def make_progressive_step(
     env_kind = int(scene["env"]["kind"])
     s_count = samples_per_step
     resolved = resolve_impl(impl)
-    use_fused = resolved in (
-        "pallas",
-        "pallas_interpret",
-    ) and fused_sample_pallas.supports_fused(scene, "progressive", ao_only)
+    # refraction (beyond-reference transmission bounce) exists only in the
+    # wavefront integrator — fused megakernels opt out when it's on
+    use_fused = (
+        not refraction
+        and resolved in ("pallas", "pallas_interpret")
+        and fused_sample_pallas.supports_fused(scene, "progressive", ao_only)
+    )
     # BVH scenes: the fused TRAVERSAL megakernel (whole sample in one launch
     # with in-kernel packet traversal — mid-size-scene fast path, round 3)
     use_fused_trav = (
         not use_fused
+        and not refraction
         and resolved in ("pallas", "pallas_interpret")
         and fused_traverse_pallas.supports_fused_traverse(
             scene, "progressive", ao_only
@@ -133,6 +138,7 @@ def make_progressive_step(
                 jitter_scale=30.0,
                 impl=impl,
                 env_kind=env_kind,
+                refraction=refraction,
             )["color"]
 
         base_count = (
@@ -295,8 +301,9 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
         # per-frame TLAS refits produce new arrays but reuse the compiled
         # geometry-as-args step.
         dynamic = getattr(self, "_dynamic_instances", False)
+        refraction = getattr(self, "refraction", False)
         cfg = (self.width, self.height, self.ao_only, self.samples_per_frame,
-               dynamic)
+               dynamic, refraction)
         if dynamic:
             geo_key = cfg + tuple(
                 (k,) + tuple(jnp.shape(leaf) for leaf in jax.tree.leaves(v))
@@ -316,6 +323,7 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
                 self.ao_only,
                 samples_per_step=self.samples_per_frame,
                 dynamic=dynamic,
+                refraction=refraction,
             )
             self._geo_key = geo_key
         return self._step

@@ -645,6 +645,7 @@ def trace_rays(
     ao_only: bool = False,
     impl: str = "auto",
     env_kind: int | None = None,
+    refraction: bool = False,
 ) -> dict:
     """Trace one sample for a dense batch of primary rays.
 
@@ -652,6 +653,14 @@ def trace_rays(
     mode: 'progressive' (ProgressiveRaytracing.hlsl) or 'realtime'
     (RealtimeRaytracing.hlsl). ao_only statically switches to the AO view
     (showAmbientOcclusionOnly, ProgressiveRaytracing.hlsl:82-84).
+
+    refraction (progressive; BEYOND-reference, opt-in): glass materials
+    (type 2) additionally trace a TRANSMISSION bounce through vm.refract —
+    the utility the reference ships but never calls
+    (/root/reference/assets/shaders/RaytracingUtils.hlsli:141-165; its glass
+    only reflects) — weighted reflectivity * (1 - fresnel); total internal
+    reflection lanes contribute nothing (the reflect branch already carries
+    them). Default off = exact reference parity.
 
     Returns {"color" [N,3]} plus, for realtime mode, "direct" and
     "indirect_specular" AOVs (the two UAV outputs,
@@ -707,21 +716,34 @@ def trace_rays(
     # ---- ONE batched secondary trace for diffuse + specular bounce rays ----
     # (the DXR version recurses twice; batching halves launch count and
     # doubles lane occupancy with lane-identical results)
+    trans_active = None
     if mode == "progressive":
         n = position.shape[0]
+        dirs_list = [sample_dir, phong_dir]
+        act_list = [hit, spec_active]
+        if refraction:
+            trans_dir, trans_ok = vm.refract(directions, normal, mat["ior"])
+            trans_active = (
+                hit & (mat["type"] == 2) & (mat["reflectivity"] > 0.001)
+                & trans_ok
+            )
+            dirs_list.append(trans_dir)
+            act_list.append(trans_active)
+        reps = len(dirs_list)
         sec_both = _secondary_radiance(
             scene,
             options,
-            jnp.concatenate([position, position]),
-            jnp.concatenate([sample_dir, phong_dir]),
-            jnp.concatenate([seeds, seeds]),
-            jnp.concatenate([hit, spec_active]),
+            jnp.concatenate([position] * reps),
+            jnp.concatenate(dirs_list),
+            jnp.concatenate([seeds] * reps),
+            jnp.concatenate(act_list),
             mode,
             impl,
             env_kind,
         )
         sec = sec_both[:n]
-        spec_rad = sec_both[n:]
+        spec_rad = sec_both[n : 2 * n]
+        trans_rad = sec_both[2 * n :] if refraction else None
         nol = vm.saturate(vm.dot(normal, sample_dir))
         # cosine: pdf term cancels -> L * pi; uniform: L * NoL * 2pi
         # (evaluateIndirectDiffuse, ProgressiveRaytracing.hlsl:57-78).
@@ -744,6 +766,11 @@ def trace_rays(
     refl = mat["reflectivity"][..., None]
     emissive = mat["emissive"] * mat["emissive_strength"][..., None]
     full = emissive + mat["albedo"] * diffuse_comp + refl * specular * fresnel
+    if refraction and trans_active is not None:
+        # transmission: deterministic refraction ray (pdf = brdf = 1),
+        # energy split against the reflect branch by the same Schlick term
+        transmitted = jnp.where(trans_active[..., None], trans_rad, 0.0)
+        full = full + refl * (1.0 - fresnel) * transmitted
 
     if mode == "realtime":
         direct_aov = mat["albedo"] * direct / M_PI
@@ -941,7 +968,7 @@ def make_render_step(
     jax.jit,
     static_argnames=(
         "mode", "ao_only", "width", "height", "jitter_scale", "impl", "env_kind",
-        "full_height",
+        "full_height", "refraction",
     ),
 )
 def render_sample(
@@ -957,6 +984,7 @@ def render_sample(
     env_kind: int | None = None,
     row0=None,
     full_height: int = 0,
+    refraction: bool = False,
 ) -> dict:
     """Render one sample for the full [H, W] grid; the jitted per-frame kernel.
 
@@ -991,6 +1019,7 @@ def render_sample(
     out = trace_rays(
         scene, options, o, d, seeds,
         mode=mode, ao_only=ao_only, impl=impl, env_kind=env_kind,
+        refraction=refraction,
     )
     reshaped = {}
     for k, v in out.items():

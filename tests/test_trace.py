@@ -218,3 +218,57 @@ def test_env_miss_through_opening():
     data2 = dict(data, env=envmap.constant_env((0.25, 0.5, 0.75), strength=2.0))
     out = np.asarray(render(data2, cam2, n=8)["color"])
     np.testing.assert_allclose(out, np.broadcast_to([0.5, 1.0, 1.5], out.shape), atol=1e-5)
+
+
+def test_refraction_transmits_through_glass():
+    """Opt-in transmission bounce (BEYOND-reference): a glass pane between
+    the camera and an emissive wall. With refraction=True the wall's
+    emission reaches the camera through the pane; with the default (parity)
+    flag the pane only reflects and the wall stays hidden."""
+    from dxrexperiments_tpu.scene.materials import MATERIAL_GLASS, Material
+    from dxrexperiments_tpu.scene.mesh import Mesh
+
+    sc = Scene()
+    glass = sc.add_material(
+        Material(
+            albedo=(0.0, 0.0, 0.0, 1.0),
+            specular=(0.04, 0.04, 0.04, 1.0),
+            reflectivity=1.0,
+            roughness=0.0,
+            ior=1.5,
+            type=MATERIAL_GLASS,
+        )
+    )
+    bright = sc.add_material(
+        Material(albedo=(0, 0, 0, 1), emissive=(1.0, 1.0, 1.0, 20.0))
+    )
+    pane_pos = np.array(
+        [[-2, -2, 0], [-2, 2, 0], [2, 2, 0], [2, -2, 0]], np.float32
+    )
+    quad_idx = np.array([[0, 2, 1], [0, 3, 2]], np.int32)  # +z normals
+    wall_pos = pane_pos.copy()
+    wall_pos[:, 2] = -2.0
+    sc.add_model(Mesh(pane_pos, None, quad_idx), material=glass)
+    sc.add_model(Mesh(wall_pos, None, quad_idx), material=bright)
+    sc.lights = {
+        "dir": directional_light((0, 0, -1), (0, 0, 0, 0.0)),  # off
+        "point": point_light((0, 0, 5.0), (1, 1, 1, 0.0)),  # off
+    }
+    sc.environment = envmap.constant_env((0, 0, 0))
+    data = sc.build()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 0.0, 3.0), (0.0, 0.0, 0.0), (0, 1, 0))
+    cam.set_aspect(1, 1)
+    params = camera_params(cam, frame_count=0)
+    options = default_options()
+    off = np.asarray(
+        render_sample(data, options, params, 32, 32)["color"]
+    )
+    on = np.asarray(
+        render_sample(data, options, params, 32, 32, refraction=True)["color"]
+    )
+    c = slice(12, 20)  # center pixels look straight through the pane
+    assert off[c, c].mean() < 0.05  # parity: glass only reflects (black wall behind camera)
+    assert on[c, c].mean() > 1.0  # transmission: emissive wall visible
+    # energy split sanity: transmitted term is scaled by (1 - fresnel) < 1
+    assert on[c, c].mean() < 20.0
