@@ -120,6 +120,12 @@ def stage1_config2():
 
 
 def stage2_susanne_sbvh():
+    """Susanne fused traversal: SBVH-vs-object-split A/B, then an FT_TILE
+    sweep (1024/512/256) — sub-1024 tiles are the cheap form of finer leaf
+    gating for the fused kernel (the grouped-layout redesign applies only
+    if small tiles beat 1024 here)."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
@@ -130,10 +136,8 @@ def stage2_susanne_sbvh():
 
     s_count, width = 16, 512
     height = width
-    for spatial in (True, False):
-        import os
 
-        os.environ["SBVH_SPATIAL"] = "1" if spatial else "0"
+    def measure(tag):
         sc, cam = build_scene("/root/reference/assets/models/susanne.obj")
         cam.set_aspect(width, height)
         scene = sc.build(accel="bvh")
@@ -158,14 +162,23 @@ def stage2_susanne_sbvh():
         best = best_of(fused)
         n = width * height
         print(
-            f"[susanne sbvh={spatial}] S={s_count}: "
-            f"{best/s_count*1e3:.2f} ms/sample "
+            f"[susanne {tag}] S={s_count}: {best/s_count*1e3:.2f} ms/sample "
             f"({n*s_count/best/1e6:.1f} Mrays/s primary)",
             flush=True,
         )
-    import os
 
+    for spatial in (True, False):
+        os.environ["SBVH_SPATIAL"] = "1" if spatial else "0"
+        measure(f"sbvh={spatial}")
     os.environ.pop("SBVH_SPATIAL", None)
+    for tile in (512, 256):
+        os.environ["FT_TILE"] = str(tile)
+        try:
+            measure(f"tile={tile}")
+        except Exception:
+            print(f"[susanne tile={tile}] FAILED:", flush=True)
+            traceback.print_exc()
+    os.environ.pop("FT_TILE", None)
 
 
 def stage3_soup_micro():

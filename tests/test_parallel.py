@@ -229,3 +229,59 @@ def test_sharded_two_level_matches_single_chip():
         for c in cams
     ]
     np.testing.assert_allclose(sharded, np.mean(singles, axis=0), atol=1e-5)
+
+
+@needs_devices(2)
+def test_sharded_realtime_env_deferred_matches_single_chip():
+    """Row-sharded realtime via the fused-traverse kernel in env-DEFERRED
+    mode (texture env): each shard resolves its own env gathers with
+    per-shard primary dirs (row0 offset) — must match the single-chip
+    fused path exactly."""
+    from dxrexperiments_tpu.core.camera import Camera, camera_params
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.scene import Scene, cornell_box, envmap
+    from dxrexperiments_tpu.scene.lights import (
+        directional_light,
+        point_light,
+    )
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    width, height = 32, 64
+    mesh0, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh0)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    rs = np.random.default_rng(3)
+    sc.environment = envmap.cubemap_env(
+        rs.uniform(0, 2, (6, 8, 8, 3)).astype(np.float32), strength=1.3
+    )
+    scene = sc.build(accel="bvh")
+    assert ftp.supports_fused_traverse(scene, "realtime", False)
+    options = default_options()
+    cam = Camera()
+    cam.set_eye_at_up((0.0, 1.0, 3.4), (0.0, 1.0, 0.0), (0.0, 1.0, 0.0))
+    cam.set_aspect(width, height)
+    camp = camera_params(cam, jitter=(0.003, -0.002), frame_count=5)
+
+    ref = ftp.fused_traverse_realtime_outputs(
+        scene, options, camp, width, height, int(scene["env"]["kind"]),
+        interpret=True,
+    )
+    mesh = make_render_mesh(n_tile=2, n_spp=1, devices=jax.devices()[:2])
+    step = make_sharded_realtime_step(
+        scene, width, height, mesh, impl="pallas_interpret", denoise=False
+    )
+    from dxrexperiments_tpu.models.denoise import default_denoise_params
+
+    outs = step(
+        options, camp, scene["lights"], scene["env"], default_denoise_params()
+    )
+    for k in ("color", "direct", "indirect_specular"):
+        np.testing.assert_allclose(
+            np.asarray(outs[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
+        )
