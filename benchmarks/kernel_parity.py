@@ -201,6 +201,60 @@ def main() -> None:
     )["color"]
     image_compare("fused_traverse", got, want, frac=0.02)
 
+    # ---- 5b. grouped sub-packet fat kernel (pure relayout: exact) ------
+    got_g = traverse_pallas.traverse_fat_closest(
+        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024, group=4
+    )
+    got_f = traverse_pallas.traverse_fat_closest(
+        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024,
+        half_gate=0,
+    )
+    exact = all(
+        bool(jnp.all(got_g[k] == got_f[k]))
+        for k in ("hit", "t", "tri", "u", "v")
+    )
+    results["traverse_fat_grouped"] = {"exact_vs_flat": exact, "pass": exact}
+    print(f"traverse_fat_grouped: exact {exact}", flush=True)
+
+    # ---- 5c. fused traversal, TEX-deferred + area light (config2 class) -
+    sc4, cam4 = build_scene("cornell-tex")
+    cam4.set_aspect(w, h)
+    scene_tex = sc4.build(accel="bvh")
+    assert ftp.supports_fused_traverse(scene_tex, "progressive", False)
+    camp4 = camera_params(cam4, jitter=(0.002, -0.001), frame_count=9)
+    cams4 = jax.tree.map(lambda x: x[None], camp4)
+    got = ftp.fused_traverse_progressive_sum(
+        scene_tex, opts, cams4, w, h, int(scene_tex["env"]["kind"])
+    )
+    want = render_sample(
+        scene_tex, opts, camp4, w, h, mode="progressive", impl="jnp",
+        env_kind=int(scene_tex["env"]["kind"]),
+    )["color"]
+    image_compare("fused_traverse_tex_area", got, want, frac=0.02)
+
+    # ---- 5d. fused traversal realtime, env-deferred (cubemap) ----------
+    sc5, cam5 = build_scene("/root/reference/assets/models/susanne.obj")
+    from dxrexperiments_tpu.scene import envmap as _envmap
+    from dxrexperiments_tpu.utils.dds import load_cubemap
+
+    sc5.environment = _envmap.cubemap_env(
+        load_cubemap(
+            "/root/reference/assets/textures/CathedralRadiance.dds"
+        )
+    )
+    cam5.set_aspect(w, h)
+    scene_rt = sc5.build(accel="bvh")
+    assert ftp.supports_fused_traverse(scene_rt, "realtime", False)
+    camp5 = camera_params(cam5, jitter=(0.002, -0.001), frame_count=9)
+    got = ftp.fused_traverse_realtime_outputs(
+        scene_rt, opts, camp5, w, h, int(scene_rt["env"]["kind"])
+    )["color"]
+    want = render_sample(
+        scene_rt, opts, camp5, w, h, mode="realtime", jitter_scale=10.0,
+        impl="jnp", env_kind=int(scene_rt["env"]["kind"]),
+    )["color"]
+    image_compare("fused_traverse_rt_env_deferred", got, want, frac=0.02)
+
     # ---- 6. bilateral denoise pass -------------------------------------
     img = jnp.asarray(rng.uniform(0, 4, (128, 128, 3)).astype(np.float32))
     joint = jnp.asarray(rng.uniform(0, 1, (128, 128, 3)).astype(np.float32))
