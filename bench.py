@@ -47,7 +47,54 @@ SECONDARY_RECORDED = {
 }
 
 
+# Headline measured at the same commit class as the secondaries — emitted
+# (clearly labeled stale) only if the axon tunnel wedges and the watchdog
+# fires; see RESULTS.md for the fresh-run protocol.
+HEADLINE_RECORDED_MRAYS = 165.8
+
+
+def _watchdog(timeout_s: int) -> None:
+    """The axon tunnel can wedge for hours (see CLAUDE.md); if measurement
+    doesn't finish in time, emit the last recorded headline CLEARLY MARKED
+    stale instead of hanging the caller forever."""
+    import json as _json
+    import os as _os
+
+    print(
+        _json.dumps(
+            {
+                "metric": "primary_mrays_per_sec_cornell512_progressive",
+                "value": HEADLINE_RECORDED_MRAYS,
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(
+                    HEADLINE_RECORDED_MRAYS / BASELINE_MRAYS, 4
+                ),
+                "stale": True,
+                "stale_reason": (
+                    f"TPU tunnel unresponsive for {timeout_s}s; value is the "
+                    f"recorded measurement from {SECONDARY_RECORDED_AT}, NOT "
+                    "a fresh run"
+                ),
+                "secondary_recorded": {
+                    "recorded_at": SECONDARY_RECORDED_AT,
+                    **SECONDARY_RECORDED,
+                },
+            }
+        ),
+        flush=True,
+    )
+    _os._exit(2)
+
+
 def main() -> None:
+    import threading
+
+    timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    if timeout_s > 0:
+        t = threading.Timer(timeout_s, _watchdog, args=(timeout_s,))
+        t.daemon = True
+        t.start()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
