@@ -128,22 +128,34 @@ def build_scene(name: str) -> tuple[Scene, Camera]:
             glossy_tall_box=(name in ("cornell-glossy", "cornell-glass")),
             textured_floor=(name == "cornell-tex"),
         )
+        for m in materials:
+            sc.add_material(m)
         if name == "cornell-glass":
-            # tall box becomes GLASS — pair with --refraction for the
-            # beyond-reference transmission bounce (trace/integrator.py)
+            # a thin GLASS pane in front of the boxes — pair with
+            # --refraction for the beyond-reference transmission bounce
+            # (trace/integrator.py). A pane (one interface per ray) fits
+            # the parity-bounded depth-1 recursion; a solid glass volume
+            # would need an exit bounce.
             from ..scene.materials import MATERIAL_GLASS
+            from ..scene.mesh import Mesh
 
-            materials[4] = dataclasses.replace(
-                materials[4],
+            glass = sc.add_material(Material(
                 albedo=(0.02, 0.02, 0.02, 1.0),
                 specular=(0.04, 0.04, 0.04, 1.0),
                 reflectivity=1.0,
                 roughness=0.0,
                 ior=1.5,
                 type=MATERIAL_GLASS,
+            ))
+            pane = np.array(
+                [[-0.85, 0.15, 0.55], [-0.85, 1.55, 0.55],
+                 [0.15, 1.55, 0.55], [0.15, 0.15, 0.55]], np.float32
             )
-        for m in materials:
-            sc.add_material(m)
+            sc.add_model(
+                Mesh(pane, None,
+                     np.array([[0, 2, 1], [0, 3, 2]], np.int32)),
+                material=glass,
+            )
         sc.add_model(mesh)
         if name == "cornell-tex":
             # BASELINE config 2 feature demo: textured albedo + quad area
