@@ -260,13 +260,17 @@ def build_bvh_sah(
     num_tris; every consumer resolves slots through `order`). Returns
     explicit node arrays, or None when the native toolchain is unavailable
     (callers fall back to the Morton build). spatial=None reads the
-    SBVH_SPATIAL env knob (default on; set 0 for object-split-only A/B)."""
+    SBVH_SPATIAL env knob — default OFF: measured SAH-cost gains are small
+    on this framework's scene classes (susanne -8%, random soup -1.2%) and
+    duplicated references can ENLARGE packet unions (a packet straddling
+    the split plane visits both copies), so spatial splits stay opt-in
+    until a hardware A/B shows a win (benchmarks/round3_batch.py)."""
     import os
 
     from ..utils import native
 
     if spatial is None:
-        spatial = os.environ.get("SBVH_SPATIAL", "1") != "0"
+        spatial = os.environ.get("SBVH_SPATIAL", "0") == "1"
     res = native.build_sah_native(
         np.asarray(v0, np.float32)[:num_tris],
         np.asarray(e1, np.float32)[:num_tris],

@@ -327,11 +327,13 @@ struct Builder {
           }
         }
       }
-      extra_budget -= dups;
-      if (left.empty() || right.empty()) {
-        // numeric degeneracy: fall back to a median object split
+      if (dups > extra_budget || left.empty() || right.empty()) {
+        // over budget (keeps the 1.5x reference invariant exact) or
+        // numeric degeneracy: fall back to the object split
         left.clear();
         right.clear();
+      } else {
+        extra_budget -= dups;
       }
     }
     if (left.empty() && right.empty()) {
