@@ -333,6 +333,13 @@ class ViewerApp:
                 pipe.options["cosine_hemisphere_sampling"] = jnp.asarray(not cur)
                 self._dirty()
                 self.message = f"cosine sampling: {not cur}"
+            elif k == "z":
+                # refraction toggle (beyond-reference transmission bounce;
+                # static flag -> the progressive step recompiles)
+                if hasattr(pipe, "refraction"):
+                    pipe.refraction = not pipe.refraction
+                    self._dirty()
+                    self.message = f"refraction: {pipe.refraction}"
             elif k == "g":
                 cur = int(pipe.options["debug"])
                 pipe.options["debug"] = jnp.asarray((cur + 1) % 3, jnp.int32)

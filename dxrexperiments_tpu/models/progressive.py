@@ -225,6 +225,9 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
         self.frame_accumulation_enabled = True
         self.animation_paused = True  # reference default (ctor :30)
         self.ao_only = False
+        # beyond-reference transmission bounce (trace_rays refraction=);
+        # static compile flag, off = exact reference parity
+        self.refraction = False
         self.rng = np.random.default_rng(wall_seed() if seed is None else seed)
         self.accum_count = 0
         self.last_vp: np.ndarray | None = None
