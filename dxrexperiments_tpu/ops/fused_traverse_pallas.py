@@ -1323,7 +1323,7 @@ def _ft_dispatch(
             (mt_rows_n, 128), lambda i, s: (0, 0), memory_space=pltpu.VMEM
         )
     else:
-        mt_spec = pl.BlockSpec(memory_space=pltpu.ANY)  # stays in HBM
+        mt_spec = pl.BlockSpec(memory_space=pl.ANY)  # stays in HBM
     nodes_spec = pl.BlockSpec(
         (16, f_cols),
         lambda i, s: (0, 0),

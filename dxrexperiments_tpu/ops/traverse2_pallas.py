@@ -582,7 +582,7 @@ def _call_fat(tl: dict, rays, r_pad, K: int, cull: bool, occlusion: bool,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat tlas nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # instance table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat blas nodes
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt rows stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -667,7 +667,7 @@ def _call(tl: dict, rays, r_pad, K: int, cull: bool, occlusion: bool,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # tlas nodes
             pl.BlockSpec(memory_space=pltpu.VMEM),  # instance table
             pl.BlockSpec(memory_space=pltpu.VMEM),  # blas nodes
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt rows stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt rows stay in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM

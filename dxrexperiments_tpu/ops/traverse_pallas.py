@@ -1131,7 +1131,7 @@ def _call_fat_grouped(bvh, rays, r_pad, leaf_size, cull, occlusion,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shared origin scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, group, R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
@@ -1185,7 +1185,7 @@ def traverse_closest(
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # nodes, whole array
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1239,7 +1239,7 @@ def _call_fat(bvh, rays, r_pad, leaf_size, cull, occlusion, interpret,
             pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shared origin scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, tile), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1369,7 +1369,7 @@ def traverse8_closest(
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wide nodes, whole array
-            pl.BlockSpec(memory_space=pltpu.ANY),  # mt_sorted stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # mt_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1417,7 +1417,7 @@ def traverse8_any(
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
@@ -1453,7 +1453,7 @@ def traverse_any(
         in_specs=[
             pl.BlockSpec((8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
             (8, TILE_R), lambda i: (0, i), memory_space=pltpu.VMEM
