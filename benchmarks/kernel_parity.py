@@ -11,7 +11,10 @@ visit order (measured ~1% of edge pixels), so hit-dependent comparisons
 report BOTH the max diff over agreeing lanes and the disagreement fraction;
 the gate bounds each.
 
-Usage: python benchmarks/kernel_parity.py [round_tag]
+Usage: python benchmarks/kernel_parity.py [round_tag] [--interpret]
+  --interpret: run every kernel in interpret mode on CPU — a cheap
+  validation of THIS SCRIPT (scene names, shapes, gates) before
+  spending real-tunnel time; the JSON is tagged interpret=true.
 """
 
 from __future__ import annotations
@@ -50,7 +53,11 @@ def main() -> None:
         render_sample,
     )
 
-    tag = sys.argv[1] if len(sys.argv) > 1 else "r03"
+    interp = "--interpret" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tag = args[0] if args else "r03"
+    if interp:
+        jax.config.update("jax_platforms", "cpu")
     results: dict[str, dict] = {}
     t_start = time.time()
 
@@ -129,10 +136,10 @@ def main() -> None:
     sc, cam = build_scene("cornell-glossy")
     scene_small = sc.build()
     o, d = ray_batch(8192)
-    got = intersect_pallas.trace_closest(scene_small, o, d)
+    got = intersect_pallas.trace_closest(scene_small, o, d, interpret=interp)
     want = intersect.intersect_closest(scene_small, o, d)
     closest_compare("intersect_closest", got, want)
-    ga = np.asarray(intersect_pallas.trace_any(scene_small, o, d, 1e-4, 10.0))
+    ga = np.asarray(intersect_pallas.trace_any(scene_small, o, d, 1e-4, 10.0, interpret=interp))
     wa = np.asarray(intersect.intersect_any(scene_small, o, d, 1e-4, 10.0))
     results["intersect_any"] = {
         "disagree_frac": float((ga != wa).mean()),
@@ -145,13 +152,15 @@ def main() -> None:
     scene_bvh = sc.build(accel="bvh")
     o, d = ray_batch(8192, -8.0, 8.0)
     got = traverse_pallas.traverse_fat_closest(
-        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024,
+        interpret=interp,
     )
     want = intersect.intersect_closest(scene_bvh, o, d)
     closest_compare("traverse_fat_closest", got, want)
     ga = np.asarray(
         traverse_pallas.traverse_fat_any(
-            scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+            scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024,
+            interpret=interp,
         )
     )
     wa = np.asarray(intersect.intersect_any(scene_bvh, o, d, 1e-4, 3.0e37))
@@ -166,7 +175,8 @@ def main() -> None:
     scene2 = sc.build_two_level()
     o, d = ray_batch(8192, -6.0, 6.0)
     got = traverse2_pallas.traverse2_fat_closest(
-        scene2["tlas"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024
+        scene2["tlas"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024,
+        interpret=interp,
     )
     want = tlas_mod.two_level_closest_jnp(scene2, o, d, 1e-4, 3.0e37, False)
     closest_compare("traverse2_fat_closest", got, want)
@@ -178,7 +188,8 @@ def main() -> None:
     cams = jax.tree.map(lambda x: x[None], camp)
     opts = default_options()
     got = fsp.fused_progressive_sum(
-        scene_small, opts, cams, w, h, int(scene_small["env"]["kind"])
+        scene_small, opts, cams, w, h, int(scene_small["env"]["kind"]),
+        interpret=interp,
     )
     want = render_sample(
         scene_small, opts, camp, w, h, mode="progressive", impl="jnp",
@@ -193,7 +204,8 @@ def main() -> None:
     camp3 = camera_params(cam3, jitter=(0.002, -0.001), frame_count=9)
     cams3 = jax.tree.map(lambda x: x[None], camp3)
     got = ftp.fused_traverse_progressive_sum(
-        scene_cb, opts, cams3, w, h, int(scene_cb["env"]["kind"])
+        scene_cb, opts, cams3, w, h, int(scene_cb["env"]["kind"]),
+        interpret=interp,
     )
     want = render_sample(
         scene_cb, opts, camp3, w, h, mode="progressive", impl="jnp",
@@ -203,11 +215,12 @@ def main() -> None:
 
     # ---- 5b. grouped sub-packet fat kernel (pure relayout: exact) ------
     got_g = traverse_pallas.traverse_fat_closest(
-        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024, group=4
+        scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024, group=4,
+        interpret=interp,
     )
     got_f = traverse_pallas.traverse_fat_closest(
         scene_bvh["bvh"], o, d, leaf_size=BVH_LEAF_SIZE, tile=1024,
-        half_gate=0,
+        half_gate=0, interpret=interp,
     )
     exact = all(
         bool(jnp.all(got_g[k] == got_f[k]))
@@ -224,7 +237,8 @@ def main() -> None:
     camp4 = camera_params(cam4, jitter=(0.002, -0.001), frame_count=9)
     cams4 = jax.tree.map(lambda x: x[None], camp4)
     got = ftp.fused_traverse_progressive_sum(
-        scene_tex, opts, cams4, w, h, int(scene_tex["env"]["kind"])
+        scene_tex, opts, cams4, w, h, int(scene_tex["env"]["kind"]),
+        interpret=interp,
     )
     want = render_sample(
         scene_tex, opts, camp4, w, h, mode="progressive", impl="jnp",
@@ -247,7 +261,8 @@ def main() -> None:
     assert ftp.supports_fused_traverse(scene_rt, "realtime", False)
     camp5 = camera_params(cam5, jitter=(0.002, -0.001), frame_count=9)
     got = ftp.fused_traverse_realtime_outputs(
-        scene_rt, opts, camp5, w, h, int(scene_rt["env"]["kind"])
+        scene_rt, opts, camp5, w, h, int(scene_rt["env"]["kind"]),
+        interpret=interp,
     )["color"]
     want = render_sample(
         scene_rt, opts, camp5, w, h, mode="realtime", jitter_scale=10.0,
@@ -260,12 +275,13 @@ def main() -> None:
     joint = jnp.asarray(rng.uniform(0, 1, (128, 128, 3)).astype(np.float32))
     radius = jnp.asarray(12.0, jnp.float32)
     for axis in (0, 1):
-        got = bilateral_pallas.bilateral_pass(img, joint, radius, axis=axis)
+        got = bilateral_pallas.bilateral_pass(img, joint, radius, axis=axis, interpret=interp)
         want = _bilateral_pass(img, joint, radius, axis=axis)
         image_compare(f"bilateral_axis{axis}", got, want, tol=1e-5, frac=0.0)
 
     out = {
         "round": tag,
+        "interpret": interp,
         "backend": jax.default_backend(),
         "wall_s": round(time.time() - t_start, 1),
         "all_pass": all(v.get("pass", False) for v in results.values()),
