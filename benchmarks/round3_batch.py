@@ -13,7 +13,9 @@ so one failure doesn't lose the rest:
      grouped sub-packet kernels fatg2/fatg4/fatg8 (gating below the
      1024-lane Mosaic broadcast floor).
 
-Usage: python benchmarks/round3_batch.py [stages]   (e.g. "1,3")
+Usage: python benchmarks/round3_batch.py [stages] [--interpret]
+  stages: e.g. "1,3". --interpret: tiny-shape interpret-mode smoke on CPU
+  to validate the script itself without tunnel time.
 """
 
 from __future__ import annotations
@@ -24,11 +26,15 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
+SMOKE = "--interpret" in sys.argv
+
 
 def fence(x):
+    """Honest tunnel fence: scalar readback of one leaf (pytrees ok)."""
+    import jax
     import jax.numpy as jnp
 
-    return float(jnp.sum(x))
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
 
 
 def warmup():
@@ -64,7 +70,7 @@ def stage1_config2():
         render_sample,
     )
 
-    s_count, width = 8, 512
+    s_count, width = (2, 64) if SMOKE else (8, 512)
     height = width
     sc, cam = build_scene("config2")
     cam.set_aspect(width, height)
@@ -82,7 +88,8 @@ def stage1_config2():
 
     def fused():
         return ftp.fused_traverse_progressive_sum(
-            scene, options, stacked, width, height, env_kind
+            scene, options, stacked, width, height, env_kind,
+            interpret=SMOKE,
         )
 
     t0 = time.perf_counter()
@@ -104,7 +111,8 @@ def stage1_config2():
     def wf():
         return render_sample(
             scene, options, cam0, width, height, mode="progressive",
-            impl="pallas", env_kind=env_kind,
+            impl="pallas_interpret" if SMOKE else "pallas",
+            env_kind=env_kind,
         )["color"]
 
     wf_jit = jax.jit(wf)
@@ -134,7 +142,7 @@ def stage2_susanne_sbvh():
     from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
     from dxrexperiments_tpu.trace.integrator import default_options
 
-    s_count, width = 16, 512
+    s_count, width = (2, 64) if SMOKE else (16, 512)
     height = width
 
     def measure(tag):
@@ -154,7 +162,8 @@ def stage2_susanne_sbvh():
 
         def fused():
             return ftp.fused_traverse_progressive_sum(
-                scene, options, stacked, width, height, env_kind
+                scene, options, stacked, width, height, env_kind,
+                interpret=SMOKE,
             )
 
         fence(fused())
@@ -193,7 +202,7 @@ def stage3_soup_micro():
     from dxrexperiments_tpu.scene import Scene
     from dxrexperiments_tpu.scene.procedural import random_triangle_soup
 
-    n_tris, leaf, n_rays = 200_000, 32, 512 * 512
+    n_tris, leaf, n_rays = (3000, 32, 64 * 64) if SMOKE else (200_000, 32, 512 * 512)
     mesh = random_triangle_soup(n_tris, seed=2, extent=10.0)
     sc = Scene()
     sc.add_model(mesh)
@@ -237,7 +246,8 @@ def stage3_soup_micro():
             try:
                 def run():
                     return traverse_pallas.traverse_fat_closest(
-                        packed, o, d, t_min=1e-4, leaf_size=leaf, **kw
+                        packed, o, d, t_min=1e-4, leaf_size=leaf,
+                        interpret=SMOKE, **kw
                     )
 
                 r = run()
@@ -256,11 +266,12 @@ def stage3_soup_micro():
 
 
 def main():
-    stages = (
-        {int(s) for s in sys.argv[1].split(",")}
-        if len(sys.argv) > 1
-        else {1, 2, 3}
-    )
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    stages = {int(s) for s in args[0].split(",")} if args else {1, 2, 3}
+    if SMOKE:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     t0 = time.perf_counter()
     warmup()
     for num, fn in ((1, stage1_config2), (2, stage2_susanne_sbvh),
