@@ -90,10 +90,11 @@ def main() -> None:
     import threading
 
     timeout_s = int(os.environ.get("BENCH_TIMEOUT_S", "1500"))
+    watchdog = None
     if timeout_s > 0:
-        t = threading.Timer(timeout_s, _watchdog, args=(timeout_s,))
-        t.daemon = True
-        t.start()
+        watchdog = threading.Timer(timeout_s, _watchdog, args=(timeout_s,))
+        watchdog.daemon = True
+        watchdog.start()
 
     import jax
     import jax.numpy as jnp
@@ -151,6 +152,8 @@ def main() -> None:
 
     total_samples = DISPATCHES * SAMPLES_PER_DISPATCH
     mrays = WIDTH * HEIGHT * total_samples / dt / 1e6
+    if watchdog is not None:
+        watchdog.cancel()  # keep the ONE-json-line contract
     print(
         json.dumps(
             {

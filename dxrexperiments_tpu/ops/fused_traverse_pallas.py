@@ -177,6 +177,11 @@ def _make_ft_kernel(
     assert not (realtime and tex_deferred)
     assert half_gate <= 1 or resident
     d_count, p_count, a_count = rig
+    # one occlusion row per shadow direction in the [32, tile_r] hit_ref
+    # scratch (rows HR_OCC0..31) — guards AREA_LIGHT_SAMPLES growth
+    assert d_count + p_count + a_count * AREA_LIGHT_SAMPLES <= 32 - HR_OCC0, (
+        "shadow-direction count exceeds the occlusion scratch rows"
+    )
     defer_env = env_deferred or tex_deferred
     n_attr = 16 if tex_deferred else 10
 
@@ -1156,7 +1161,8 @@ def _make_ft_kernel(
             color.append(_sanitize(c))
 
         if env_deferred:
-            # S must be 1 (asserted in _ft_dispatch): rows written directly.
+            # Each sample s owns its own out-row block (out_specs maps s to
+            # block row s), so rows are written directly.
             # Layout: 0-2 color (env-free), 3 hit, 4-6 diffuse bounce dir,
             # 7-9 its per-channel env weight, 10-12 specular bounce dir,
             # 13-15 its weight. Host adds weight * env(dir) + primary env.
@@ -1212,6 +1218,15 @@ def supports_fused_traverse(scene: dict, mode: str, ao_only: bool) -> bool:
         # mask + spec dir/weight rows).
         return True
     return kind in (0, 1)
+
+
+def _safe_dirs(v):
+    """[n, 3] direction rows for deferred env resolves: degenerate rows
+    (zero bounce dirs on dead lanes) -> +Y so sample_environment's math is
+    well-defined — their env weight is 0, so the value never shows."""
+    n2 = jnp.sum(v * v, axis=-1, keepdims=True)
+    up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
+    return jnp.where(n2 > 1e-12, v, up)
 
 
 def _ft_knobs() -> tuple[int, int, int]:
@@ -1331,26 +1346,17 @@ def _ft_dispatch(
     )
 
     # area-light rig: the SMEM light pack + the stratified [0,1)^2 sample
-    # draws, precomputed with the oracle's exact decoupled TEA chain
-    # (trace/integrator._direct_lighting: aseed = initRand(seed, golden),
-    # 2 LCG draws per sample, 2x2 stratification)
+    # draws, precomputed with scene.lights.area_light_draws — the single
+    # source of truth shared with the wavefront oracle, so the two paths
+    # stay bit-exact draw-for-draw
     area_inputs = []
     area_specs = []
     if rig[2]:
-        import math as _math
+        from ..scene.lights import area_light_draws
 
         area_pack = pack_area_consts(scene)
-        aseed = rng.init_rand(
-            seeds[:, 0, :], jnp.uint32(0x9E3779B9)
-        )  # [S, r_pad]
-        su = max(int(_math.isqrt(AREA_LIGHT_SAMPLES)), 1)
-        sv = AREA_LIGHT_SAMPLES // su
         draw_rows = []
-        for j in range(AREA_LIGHT_SAMPLES):
-            aseed, r0, r1 = rng.next_rand2(aseed)
-            if j < su * sv:
-                r0 = (jnp.float32(j % su) + r0) / su
-                r1 = (jnp.float32(j // su % sv) + r1) / sv
+        for r0, r1 in area_light_draws(seeds[:, 0, :]):  # [S, r_pad] each
             draw_rows += [r0, r1]
         adraws = jnp.stack(draw_rows, axis=1)  # [S, 2*A_SAMPLES, r_pad]
         area_inputs = [area_pack, adraws]
@@ -1491,11 +1497,6 @@ def _ft_progressive_deferred_impl(
     env = scene["env"]
     s_rows = TEX_ROWS if tex else 16
 
-    def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
-        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-        up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-        return jnp.where(n2 > 1e-12, v, up)
-
     # Primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
     # raygen, so miss-lane env matches the wavefront path exactly. Jitter
     # only shifts the ray ORIGIN (pack_cameras), so the directions — and
@@ -1518,10 +1519,10 @@ def _ft_progressive_deferred_impl(
 
         hit = row1(3) > 0.5
         e_d = sample_environment(
-            env, safe_dirs(rows3(4)), static_kind=env_kind
+            env, _safe_dirs(rows3(4)), static_kind=env_kind
         )
         e_s = sample_environment(
-            env, safe_dirs(rows3(10)), static_kind=env_kind
+            env, _safe_dirs(rows3(10)), static_kind=env_kind
         )
         if tex:
             from ..scene.textures import sample_albedo
@@ -1630,11 +1631,6 @@ def _ft_realtime_outputs_impl(
         _unperm(out[10:11], inv)[:, 0].reshape(height, width, 1) > 0.5
     )
 
-    def safe_dirs(v):  # [n, 3]; degenerate rows -> +Y (their weight is 0)
-        n2 = jnp.sum(v * v, axis=-1, keepdims=True)
-        up = jnp.array([0.0, 1.0, 0.0], jnp.float32)
-        return jnp.where(n2 > 1e-12, v, up)
-
     # jitter only shifts ray ORIGINS (see _ft_progressive_deferred_impl),
     # so these directions — and the env image — match the kernel's raygen
     _, pdirs = primary_ray_grid(
@@ -1643,7 +1639,7 @@ def _ft_realtime_outputs_impl(
     e_p = sample_environment(
         env, pdirs.reshape(-1, 3), static_kind=env_kind
     ).reshape(height, width, 3)
-    sdirs = safe_dirs(_unperm(out[11:14], inv))
+    sdirs = _safe_dirs(_unperm(out[11:14], inv))
     e_s = sample_environment(env, sdirs, static_kind=env_kind).reshape(
         height, width, 3
     )

@@ -23,7 +23,41 @@ DEFAULT_DIR_COLOR = (0.9, 0.9, 0.9, 1.0)
 # area lights) so no parity constraint pins the value. Consumed by both the
 # wavefront integrator (_direct_lighting) and the fused traversal megakernel
 # (ops/fused_traverse_pallas.py) — the two paths must agree draw-for-draw.
+# NOTE: the fused kernel carries one occlusion row per shadow direction in a
+# 32-row scratch (ops/fused_traverse_pallas.HR_OCC0 = 24), so the full rig's
+# direction count 1 + 1 + AREA_LIGHT_SAMPLES must stay <= 8 (asserted
+# in _make_ft_kernel).
 AREA_LIGHT_SAMPLES = 4
+
+
+def area_light_draws(seed):
+    """Stratified [0,1)^2 draws for the AREA_LIGHT_SAMPLES soft-shadow
+    samples: a DECOUPLED TEA/LCG chain (aseed = initRand(seed, golden
+    ratio)) so the main shade chain is unaffected, stratified on a
+    su x sv grid (remainder samples unstratified). Returns a list of
+    (r0, r1) pairs shaped like `seed`.
+
+    The single source of truth for both consumers — the wavefront oracle
+    (trace/integrator._direct_lighting) and the fused traversal
+    megakernel's host precompute (ops/fused_traverse_pallas._ft_dispatch)
+    — which must stay bit-exact draw-for-draw."""
+    import math
+
+    import jax.numpy as jnp
+
+    from ..core import rng
+
+    su = max(int(math.isqrt(AREA_LIGHT_SAMPLES)), 1)
+    sv = AREA_LIGHT_SAMPLES // su
+    aseed = rng.init_rand(seed, jnp.uint32(0x9E3779B9))
+    out = []
+    for j in range(AREA_LIGHT_SAMPLES):
+        aseed, r0, r1 = rng.next_rand2(aseed)
+        if j < su * sv:
+            r0 = (jnp.float32(j % su) + r0) / su
+            r1 = (jnp.float32(j // su % sv) + r1) / sv
+        out.append((r0, r1))
+    return out
 
 
 def directional_light(forward_dir, color=DEFAULT_DIR_COLOR) -> dict:

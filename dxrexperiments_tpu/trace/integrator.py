@@ -455,18 +455,10 @@ def _direct_lighting(
         dirs.append(vm.normalize(path))
         t_maxs.append(jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON))
     if a_count:
-        s_total = AREA_LIGHT_SAMPLES
-        # stratify into a su x sv grid (su*sv = s_total when square; the
-        # remainder samples draw unstratified)
-        su = max(int(math.isqrt(s_total)), 1)
-        sv = s_total // su
-        aseed = rng.init_rand(seed, jnp.uint32(0x9E3779B9))
+        from ..scene.lights import area_light_draws
+
         a_dist2 = []
-        for j in range(s_total):
-            aseed, r0, r1 = rng.next_rand2(aseed)
-            if j < su * sv:
-                r0 = (jnp.float32(j % su) + r0) / su
-                r1 = (jnp.float32(j // su % sv) + r1) / sv
+        for r0, r1 in area_light_draws(seed):
             # [A, N, 3] sample points on each quad
             p_l = (
                 al["corner"][:, None, :]

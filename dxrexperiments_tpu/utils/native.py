@@ -126,7 +126,7 @@ def build_sah_native(
     e1: np.ndarray,
     e2: np.ndarray,
     leaf_size: int = 8,
-    spatial: bool = True,
+    spatial: bool = False,
 ):
     """Binned-SAH/SBVH BVH. Returns (nodes_lo [M,3], nodes_hi [M,3],
     child [M,2], order [R]) or None if the native lib is unavailable.

@@ -137,7 +137,6 @@ def test_implicit_to_node_arrays_roundtrip():
 
 
 @needs_native
-@needs_native
 def test_sbvh_spatial_splits_correct_and_tighter():
     """Default (spatial-split SBVH) build: straddling triangles may be
     referenced by several leaves with CLIPPED boxes — closest hits must
@@ -186,6 +185,7 @@ def test_sbvh_spatial_splits_correct_and_tighter():
         assert k_sah == best[1]
 
 
+@needs_native
 def test_sah_quality_beats_morton_on_soup():
     """SAH should touch fewer nodes than the Morton median tree."""
     mesh = random_triangle_soup(2000, seed=9)
