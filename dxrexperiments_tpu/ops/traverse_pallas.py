@@ -886,6 +886,11 @@ def _make_traverse_fat_grouped_kernel(K: int, cull: bool, occlusion: bool,
 
     def kernel(rays_ref, orig_ref, nodes_ref, mt_hbm, out_ref, stack_ref,
                pend_ref, box_ref, mt_scratch, sem):
+        # Blocks arrive as [1, 8, G, R] (tile on a leading axis so the last
+        # two block dims are full-size — Mosaic requires second-minor
+        # divisible by 8 or full; G=2/4 isn't). View off the unit axis.
+        rays_ref = rays_ref.at[0]
+        out_ref = out_ref.at[0]
         R = rays_ref.shape[2]
         if common_origin:
             o = [orig_ref[0, k] for k in range(3)]
@@ -1119,24 +1124,28 @@ def _call_fat_grouped(bvh, rays, r_pad, leaf_size, cull, occlusion,
             [jnp.asarray(origin, jnp.float32).reshape(3),
              jnp.zeros((5,), jnp.float32)]
         )[None, :]
-    rays3 = rays.reshape(8, r_pad // R, R)
+    n_tiles = r_pad // tile
+    # Tile index on a LEADING axis: last two block dims must be full-size
+    # (G, R) for Mosaic (second-minor blocks of 2/4 don't lower).
+    rays4 = rays.reshape(8, n_tiles, group, R).swapaxes(0, 1)
     out = pl.pallas_call(
         _make_traverse_fat_grouped_kernel(
             leaf_size, cull, occlusion, group,
             common_origin=origin is not None,
         ),
-        grid=(r_pad // tile,),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((8, group, R), lambda i: (0, i, 0),
+            pl.BlockSpec((1, 8, group, R), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # shared origin scalars
             pl.BlockSpec(memory_space=pltpu.VMEM),  # fat nodes, whole array
             pl.BlockSpec(memory_space=pl.ANY),  # mt_sorted stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (8, group, R), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (1, 8, group, R), lambda i: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((8, r_pad // R, R), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, 8, group, R), jnp.float32),
         scratch_shapes=[
             pltpu.SMEM((MAX_STACK,), jnp.int32),
             pltpu.SMEM((4,), jnp.int32),
@@ -1145,8 +1154,8 @@ def _call_fat_grouped(bvh, rays, r_pad, leaf_size, cull, occlusion,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(rays3, orig, bvh["bvhf_nodes"], bvh["mt_rows"])
-    return out.reshape(8, r_pad)
+    )(rays4, orig, bvh["bvhf_nodes"], bvh["mt_rows"])
+    return out.swapaxes(0, 1).reshape(8, r_pad)
 
 
 def _pack_rays(origins, directions, t_min, t_max, tile: int = TILE_R):
