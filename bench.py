@@ -34,23 +34,24 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = "round3/02742d2"
+SECONDARY_RECORDED_AT = "round3/64a3f87"
 SECONDARY_RECORDED = {
     "realtime_denoise_1080p_fps": 54.5,
     "instanced_983k_512_flattened_ms": 627,
     "instanced_983k_512_two_level_ms": 727,
-    "closest_262k_rays_200k_tris_ms": 30.7,
+    "closest_262k_rays_200k_tris_ms": 30.0,
     "incoherent_262k_200k_sorted_ms": 393.0,
     "hdr_env_1080p_spp_per_sec": 6.33,
     "susanne_cubemap_512_ms_per_sample": 29.2,
-    "config2_as_written_512_spp_per_sec": 8.54,
+    "susanne_fused_512_ms_per_sample": 8.94,
+    "config2_as_written_512_spp_per_sec": 9.19,
 }
 
 
 # Headline measured at the same commit class as the secondaries — emitted
 # (clearly labeled stale) only if the axon tunnel wedges and the watchdog
 # fires; see RESULTS.md for the fresh-run protocol.
-HEADLINE_RECORDED_MRAYS = 165.8
+HEADLINE_RECORDED_MRAYS = 163.9
 
 
 def _watchdog(timeout_s: int) -> None:

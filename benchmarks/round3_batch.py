@@ -265,6 +265,72 @@ def stage3_soup_micro():
                 traceback.print_exc()
 
 
+def stage4_incoherent_fatg():
+    """Sub-packet gating where it should matter: INCOHERENT rays (octant-
+    major sorted, sort included like the recorded 393 ms number). The
+    coherent camera micro measured fatg flat — but per-leaf lane
+    utilization there is already decent; after an octant sort the
+    coherence lives at sub-tile granularity, exactly what group-level
+    (tile/G-lane) liveness gating targets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dxrexperiments_tpu.accel import bvh as bvh_mod
+    from dxrexperiments_tpu.ops import traverse_pallas
+    from dxrexperiments_tpu.scene import Scene
+    from dxrexperiments_tpu.scene.procedural import random_triangle_soup
+    from dxrexperiments_tpu.trace.integrator import _ray_sort_order
+
+    n_tris, leaf, n_rays = (3000, 32, 64 * 64) if SMOKE else (200_000, 32, 512 * 512)
+    mesh = random_triangle_soup(n_tris, seed=2, extent=10.0)
+    sc = Scene()
+    sc.add_model(mesh)
+    data = sc.build(accel="none")
+    v0, e1, e2 = (np.asarray(data[k]) for k in ("v0", "e1", "e2"))
+    nodes = bvh_mod.build_bvh_sah(v0, e1, e2, int(data["num_tris"]), leaf)
+    packed = jax.device_put(
+        traverse_pallas.pack_for_traversal(nodes, data, leaf)
+    )
+
+    rs = np.random.default_rng(0)
+    o_np = rs.uniform(-14, 14, size=(n_rays, 3)).astype(np.float32)
+    d_np = (-o_np + rs.normal(scale=2.0, size=(n_rays, 3))).astype(np.float32)
+    d_np /= np.linalg.norm(d_np, axis=-1, keepdims=True)
+    o = jnp.asarray(o_np)
+    d = jnp.asarray(d_np)
+    scene_like = {"bvh": {"bvh_nodes": packed["bvh_nodes"]}}
+
+    for name, kw in (("hg2", dict(half_gate=2)),
+                     ("fatg2", dict(group=2)),
+                     ("fatg4", dict(group=4)),
+                     ("fatg8", dict(group=8)),
+                     ("fatg16", dict(group=16))):
+        try:
+            @jax.jit
+            def run():
+                order = _ray_sort_order(scene_like, o, d)
+                r = traverse_pallas.traverse_fat_closest(
+                    packed, o[order], d[order], t_min=1e-4,
+                    leaf_size=leaf, interpret=SMOKE, **kw
+                )
+                inv = jnp.argsort(order)
+                return {k: v[inv] for k, v in r.items()}
+
+            r = run()
+            hits = float(jnp.mean(r["hit"].astype(jnp.float32)))
+            fence(run()["t"])
+            best = best_of(run)
+            print(
+                f"[incoher-sorted {name}] {best*1e3:7.2f} ms "
+                f"({n_rays/best/1e6:6.2f} Mrays/s, hit {hits:.3f})",
+                flush=True,
+            )
+        except Exception:
+            print(f"[incoher-sorted {name}] FAILED:", flush=True)
+            traceback.print_exc()
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     stages = {int(s) for s in args[0].split(",")} if args else {1, 2, 3}
@@ -275,7 +341,7 @@ def main():
     t0 = time.perf_counter()
     warmup()
     for num, fn in ((1, stage1_config2), (2, stage2_susanne_sbvh),
-                    (3, stage3_soup_micro)):
+                    (3, stage3_soup_micro), (4, stage4_incoherent_fatg)):
         if num not in stages:
             continue
         try:
