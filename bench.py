@@ -36,7 +36,7 @@ BASELINE_MRAYS = 500.0
 # RESULTS.md for protocols); update BOTH when re-measuring.
 SECONDARY_RECORDED_AT = "round3/64a3f87"
 SECONDARY_RECORDED = {
-    "realtime_denoise_1080p_fps": 54.5,
+    "realtime_denoise_1080p_fps": 56.3,
     "instanced_983k_512_flattened_ms": 627,
     "instanced_983k_512_two_level_ms": 727,
     "closest_262k_rays_200k_tris_ms": 30.0,
