@@ -53,4 +53,32 @@ for rep in range(3):
     float(jnp.sum(out))
     best=min(best,(time.time()-t0)/8*1000)
 print(f"denoise only: {best:.1f} ms", flush=True)
+
+# ---- frames-in-flight batch: K frames (raytrace + denoise) per dispatch ----
+# The TPU-native analogue of the reference's 3-deep frame ring
+# (DeviceResources.cpp:580-598): amortizes the ~5 ms per-dispatch tunnel
+# cost (benchmarks/rt_anatomy.py) at K frames of input latency.
+from dxrexperiments_tpu.models.realtime import make_realtime_denoise_frames_step
+from dxrexperiments_tpu.trace.integrator import default_options
+scene_built = pipe.scene_data
+opts = pipe.options
+lights, env = scene_built["lights"], scene_built["env"]
+for K in (1, 2, 3, 4):
+    step = make_realtime_denoise_frames_step(scene_built, W, H, K)
+    cams = pipe.frame_cameras(0, K)
+    aovs, img = step(opts, cams, lights, env, den_params)
+    float(jnp.sum(img))  # compile + settle
+    best = 1e9
+    for rep in range(3):
+        t0 = time.time()
+        nd = max(1, 8 // K)
+        for dnum in range(nd):
+            cams = pipe.frame_cameras(dnum * K, K)
+            aovs, img = step(opts, cams, lights, env, den_params)
+        float(jnp.sum(img))
+        best = min(best, (time.time() - t0) / (nd * K) * 1000)
+    print(
+        f"frames-in-flight K={K}: {best:.1f} ms/frame = {1000/best:.1f} fps",
+        flush=True,
+    )
 print("DONE", flush=True)

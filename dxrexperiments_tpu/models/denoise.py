@@ -159,6 +159,25 @@ def denoise_composite(
     return composite_tail(direct_lighting, pass1, params)
 
 
+@functools.partial(jax.jit, static_argnames=("impl",))
+def denoise_composite_frames(
+    direct_lighting: jnp.ndarray,
+    indirect_specular: jnp.ndarray,
+    params: dict,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """K frames' denoise+composite in ONE dispatch (the frames-in-flight
+    batch, models/realtime.py): inputs are [K, H, W, 3]; lax.map compiles
+    the per-frame body once and runs the K filter chains back-to-back on
+    device, so the host pays a single dispatch round-trip."""
+
+    def body(args):
+        d, s = args
+        return denoise_composite(d, s, params, impl=impl)
+
+    return jax.lax.map(body, (direct_lighting, indirect_specular))
+
+
 def composite_tail(
     direct_lighting: jnp.ndarray, pass1: jnp.ndarray, params: dict
 ) -> jnp.ndarray:

@@ -84,5 +84,94 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
         self.direct, self.indirect_specular = out["direct"], out["indirect_specular"]
         return self.direct, self.indirect_specular
 
+    # ---- frames-in-flight batch (one dispatch for K frames) --------------
+    # TPU-native analogue of the reference's 3-deep frame ring
+    # (/root/reference/include/DXRExperimentsApp.h:27,
+    # src/utils/DeviceResources.cpp:580-598): the axon tunnel charges ~5 ms
+    # per host dispatch that async dispatch does not hide, so batching K
+    # frames' cameras into one dispatch trades K frames of input latency
+    # (the same latency class the reference's in-flight ring accepts) for
+    # amortized dispatch cost. Bit-identical to K sequential render() calls.
+
+    def _frames_step_fn(self, k: int):
+        geo_key = (self.width, self.height, k) + tuple(
+            id(v) for kk, v in sorted(self.scene_data.items())
+            if kk not in ("lights", "env")
+        )
+        if getattr(self, "_frames_geo_key", None) != geo_key:
+            self._frames_step = make_render_step(
+                self.scene_data,
+                self.width,
+                self.height,
+                mode="realtime",
+                jitter_scale=10.0,
+                frames_per_step=k,
+            )
+            self._frames_geo_key = geo_key
+        return self._frames_step
+
+    def frame_cameras(self, elapsed_frames: int, k: int) -> dict:
+        """CameraParams for frames [elapsed_frames, elapsed_frames+k),
+        stacked on a leading [k] axis (per-frame jitter drawn in order, as
+        k sequential update() calls would)."""
+        cams = [
+            self._frame_camera_params(elapsed_frames + f, 0, self.rng)
+            for f in range(k)
+        ]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+
+    def render_frames(self, elapsed_frames: int, k: int):
+        """Render frames [elapsed_frames, elapsed_frames+k) in ONE dispatch.
+        Returns (direct [k,H,W,3], indirect_specular [k,H,W,3]); the last
+        frame's AOVs become the pipeline's current outputs."""
+        cameras = self.frame_cameras(elapsed_frames, k)
+        out = self._frames_step_fn(k)(
+            self.options,
+            cameras,
+            self.scene_data["lights"],
+            self.scene_data["env"],
+        )
+        self.direct = out["direct"][-1]
+        self.indirect_specular = out["indirect_specular"][-1]
+        return out["direct"], out["indirect_specular"]
+
     def get_output(self, index: int = 0) -> jnp.ndarray:
         return self.direct if index == 0 else self.indirect_specular
+
+
+def make_realtime_denoise_frames_step(
+    scene: dict,
+    width: int,
+    height: int,
+    frames_per_step: int,
+    impl: str = "auto",
+    denoise_impl: str = "auto",
+):
+    """One jitted step = K realtime frames + their denoise/composite, in a
+    SINGLE host dispatch (raytrace megakernel batch + lax.map'd filter
+    chains). This is the production config-4 shape: the reference hides
+    per-frame CPU/GPU sync behind its 3-deep frame ring
+    (/root/reference/src/utils/DeviceResources.cpp:580-598); here the same
+    K-frame latency budget instead amortizes the tunnel's per-dispatch cost.
+
+    Returns ``step(options, cameras_K, lights, env, denoise_params) ->
+    (aov_dict_K, display_frames [K, H, W, 3])``.
+    """
+    from ..trace.integrator import make_render_step as _mrs
+    from .denoise import denoise_composite_frames
+
+    rt_step = _mrs(
+        scene, width, height, mode="realtime", jitter_scale=10.0,
+        impl=impl, frames_per_step=frames_per_step,
+    )
+
+    @jax.jit
+    def step(options, cameras, lights, env, denoise_params):
+        out = rt_step(options, cameras, lights, env)
+        img = denoise_composite_frames(
+            out["direct"], out["indirect_specular"], denoise_params,
+            impl=denoise_impl,
+        )
+        return out, img
+
+    return step

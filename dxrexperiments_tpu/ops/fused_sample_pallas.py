@@ -1104,13 +1104,18 @@ def _fused_dispatch(
                 (1, 1, tile_r), lambda i, s: (s, 0, i), memory_space=pltpu.VMEM
             ),
         ],
+        # Progressive: one 8-row out block revisited across s (accumulator).
+        # Realtime: each sample s (= one FRAME of a frames-in-flight batch)
+        # owns its own 16-row block, so one launch renders S frames.
         out_specs=pl.BlockSpec(
-            (16 if realtime else 8, tile_r),
-            lambda i, s: (0, i),
-            memory_space=pltpu.VMEM,
+            (16, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
+        )
+        if realtime
+        else pl.BlockSpec(
+            (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 if realtime else 8, r_pad), jnp.float32
+            (16 * s_count if realtime else 8, r_pad), jnp.float32
         ),
         scratch_shapes=[
             pltpu.VMEM((8, tile_r), jnp.float32),
@@ -1188,19 +1193,30 @@ def fused_progressive_sum(
     ),
 )
 def _fused_realtime_outputs_impl(
-    scene, options, camera, width, height, env_kind, interpret,
+    scene, options, cameras, width, height, env_kind, interpret,
     tile_r, block_w, py0=None, full_height=0, cluster_rows=0,
 ):
-    cameras = jax.tree.map(lambda x: x[None], camera)
+    """cameras: CameraParams stacked on a leading [S] FRAME axis. Returns
+    the AOV dict with a leading [S] axis (one entry per frame — the
+    frames-in-flight batch; DeviceResources runs 3 frames in flight,
+    /root/reference/include/DXRExperimentsApp.h:27)."""
+    s = int(cameras["frame_count"].shape[0])
+    n = width * height
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
         py0=py0, full_height=full_height, cluster_rows=cluster_rows,
     )
-    def img3(r0):
-        return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
+    rows = out.reshape(s, 16, n)
 
-    rough = _unperm(out[9:10], inv).reshape(height, width)
+    def unperm_s(r0, k):
+        t = jnp.swapaxes(rows[:, r0 : r0 + k, :], 1, 2)  # [s, n, k]
+        return t if inv is None else t[:, jnp.asarray(inv)]
+
+    def img3(r0):
+        return unperm_s(r0, 3).reshape(s, height, width, 3)
+
+    rough = unperm_s(9, 1).reshape(s, height, width)
     return {
         "direct": img3(0),
         "indirect_specular": img3(3),
@@ -1224,8 +1240,35 @@ def fused_realtime_outputs(
     """One fused realtime sample (RealtimeRaytracing.hlsl tree: primary +
     2 shadow sweeps + Phong-specular bounce with its 3 sweeps — 6 sweeps
     total, no indirect diffuse) returning the pipeline's AOV dict."""
+    cameras = jax.tree.map(lambda x: x[None], camera)
+    out = fused_realtime_outputs_batch(
+        scene, options, cameras, width, height, env_kind,
+        interpret=interpret, py0=py0, full_height=full_height,
+    )
+    return jax.tree.map(lambda x: x[0], out)
+
+
+def fused_realtime_outputs_batch(
+    scene: dict,
+    options: dict,
+    cameras: dict,
+    width: int,
+    height: int,
+    env_kind: int,
+    interpret: bool = False,
+    py0=None,
+    full_height: int = 0,
+) -> dict:
+    """S fused realtime FRAMES in one kernel launch — the TPU-native
+    frames-in-flight analogue (the reference keeps 3 frames in flight,
+    /root/reference/include/DXRExperimentsApp.h:27 /
+    src/utils/DeviceResources.cpp:580-598): per-frame cameras ride the
+    sample grid axis, each frame writing its own 16-row AOV block, so the
+    ~5 ms per-dispatch cost is amortized across the batch. cameras is the
+    CameraParams pytree stacked on a leading [S] frame axis; returns the
+    AOV dict with a leading [S] axis."""
     tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_realtime_outputs_impl(
-        scene, options, camera, width, height, env_kind, interpret,
+        scene, options, cameras, width, height, env_kind, interpret,
         tile_r, block_w, py0, full_height, cluster_rows,
     )

@@ -852,6 +852,7 @@ def make_render_step(
     jitter_scale: float = 30.0,
     impl: str = "auto",
     dynamic: bool = False,
+    frames_per_step: int = 1,
 ):
     """Compile a per-frame render step with the scene GEOMETRY baked in as
     constants — the analogue of compiling an RTPSO for a scene
@@ -863,6 +864,17 @@ def make_render_step(
     animation and UI edits don't recompile.
 
     Returns jitted ``step(options, camera, lights, env) -> dict of images``.
+
+    frames_per_step (realtime only): batch K FRAMES into one dispatch — the
+    TPU-native expression of the reference's frames-in-flight pipelining
+    (3 deep: /root/reference/include/DXRExperimentsApp.h:27,
+    src/utils/DeviceResources.cpp:580-598). The axon tunnel charges ~5 ms
+    per host dispatch that back-to-back async dispatches do NOT hide
+    (benchmarks/rt_anatomy.py); K frames per dispatch amortize it at the
+    cost of K-frame input latency, exactly like the reference's in-flight
+    ring. The returned step takes CameraParams stacked on a leading [K]
+    frame axis and returns AOVs with a leading [K] axis. Batched output is
+    bit-identical to K sequential single-frame steps (tested).
     """
     geo = {k: v for k, v in scene.items() if k not in ("lights", "env")}
     env_kind = int(scene["env"]["kind"])
@@ -890,6 +902,57 @@ def make_render_step(
             scene, "realtime", ao_only
         )
     )
+    if frames_per_step > 1:
+        if mode != "realtime" or dynamic:
+            raise ValueError(
+                "frames_per_step > 1 is the realtime frames-in-flight batch"
+            )
+        bake = _geo_bytes(geo) <= GEO_CONST_LIMIT_BYTES
+
+        def frames_inner(options, cameras, lights, env, geo_arg):
+            full = dict(geo_arg, lights=lights, env=env)
+            if use_fused_rt:
+                # One kernel launch for all K frames: per-frame cameras ride
+                # the sample-grid axis, each frame writes its own AOV block.
+                return fused_sample_pallas.fused_realtime_outputs_batch(
+                    full, options, cameras, width, height, env_kind,
+                    interpret=(resolved == "pallas_interpret"),
+                )
+
+            # Generic: K single-frame renders inside ONE dispatch (lax.map
+            # compiles the body once and runs the launches back-to-back on
+            # device — one host round-trip total).
+            def body(cam):
+                if use_ft_rt:
+                    return fused_traverse_pallas.fused_traverse_realtime_outputs(
+                        full, options, cam, width, height, env_kind,
+                        interpret=(resolved == "pallas_interpret"),
+                    )
+                return render_sample(
+                    full, options, cam, width, height,
+                    mode="realtime", ao_only=ao_only,
+                    jitter_scale=jitter_scale, impl=impl, env_kind=env_kind,
+                )
+
+            return jax.lax.map(body, cameras)
+
+        if bake:
+            @jax.jit
+            def step_frames(options, cameras, lights, env):
+                return frames_inner(options, cameras, lights, env, geo)
+
+            return step_frames
+
+        frames_inner_jit = jax.jit(frames_inner)
+
+        def step_frames_arg(options, cameras, lights, env, geo_arg=None):
+            return frames_inner_jit(
+                options, cameras, lights, env,
+                geo if geo_arg is None else geo_arg,
+            )
+
+        return step_frames_arg
+
     if use_fused_rt or use_ft_rt:
         rt_fn = (
             fused_sample_pallas.fused_realtime_outputs
