@@ -197,6 +197,23 @@ def main() -> None:
     )["color"]
     image_compare("fused_sample", got, want)
 
+    # ---- 4b. fused realtime frames-in-flight batch (S-axis out blocks) --
+    camps_fif = [
+        camera_params(cam, jitter=(0.001 * i, -0.002 * i), frame_count=i)
+        for i in range(3)
+    ]
+    stack_fif = jax.tree.map(lambda *xs: jnp.stack(xs), *camps_fif)
+    got_fif = fsp.fused_realtime_outputs_batch(
+        scene_small, opts, stack_fif, w, h, int(scene_small["env"]["kind"]),
+        interpret=interp,
+    )["color"]
+    for i, cp in enumerate(camps_fif):
+        want = render_sample(
+            scene_small, opts, cp, w, h, mode="realtime", jitter_scale=10.0,
+            impl="jnp", env_kind=int(scene_small["env"]["kind"]),
+        )["color"]
+        image_compare(f"fused_rt_frames_batch_f{i}", got_fif[i], want)
+
     # ---- 5. fused traversal megakernel (whole sample) ------------------
     sc3, cam3 = build_scene("cornell-glossy")
     cam3.set_aspect(w, h)

@@ -352,6 +352,12 @@ def main(argv=None) -> int:
     ap.add_argument("--pipeline", choices=["progressive", "realtime"], default="progressive")
     ap.add_argument("--denoise", action="store_true", help="realtime: run DenoiseCompositor")
     ap.add_argument(
+        "--frames-in-flight", type=int, default=1, metavar="K",
+        help="realtime: batch K frames (raytrace+denoise) per dispatch — "
+        "the reference's 3-deep frame ring as a dispatch batch; amortizes "
+        "per-dispatch cost at K frames of input latency",
+    )
+    ap.add_argument(
         "--temporal",
         type=float,
         default=None,
@@ -482,17 +488,46 @@ def main(argv=None) -> int:
         pipe.set_camera(camera)
         pipe.set_scene(scene)
         denoiser = DenoiseCompositor(temporal_alpha=args.temporal)
+        k = args.frames_in_flight
+        if k > 1 and args.temporal:
+            raise SystemExit(
+                "--frames-in-flight batches frames in one dispatch; the "
+                "temporal blend is inherently sequential — drop one flag"
+            )
         t0 = time.perf_counter()
-        pipe.update(elapsed_time=0.0, elapsed_frames=0)
-        direct, indirect = pipe.render()
-        if args.denoise:
-            final = denoiser.dispatch(direct, indirect)
+        if k > 1:
+            # Frames-in-flight batch: K frames (raytrace + denoise) in ONE
+            # dispatch — the TPU analogue of the reference's 3-deep frame
+            # ring (DeviceResources.cpp:580-598). Writes the LAST frame.
+            if args.denoise:
+                from ..models.realtime import make_realtime_denoise_frames_step
+
+                step = make_realtime_denoise_frames_step(
+                    pipe.scene_data, width, height, k
+                )
+                cams = pipe.frame_cameras(0, k)
+                _, imgs = step(
+                    pipe.options, cams, pipe.scene_data["lights"],
+                    pipe.scene_data["env"], denoiser.params,
+                )
+                final = imgs[-1]
+            else:
+                d_k, s_k = pipe.render_frames(0, k)
+                final = d_k[-1] + s_k[-1]
         else:
-            final = direct + indirect
+            pipe.update(elapsed_time=0.0, elapsed_frames=0)
+            direct, indirect = pipe.render()
+            if args.denoise:
+                final = denoiser.dispatch(direct, indirect)
+            else:
+                final = direct + indirect
         final.block_until_ready()
         dt = time.perf_counter() - t0
         img = np.clip(np.asarray(final), 0.0, 1.0)
-        print(f"realtime{'+denoise' if args.denoise else ''}: {width}x{height} in {dt:.2f}s")
+        suffix = "+denoise" if args.denoise else ""
+        if k > 1:
+            suffix += f" ({k} frames/dispatch, {dt/k*1000:.1f} ms/frame)"
+        print(f"realtime{suffix}: {width}x{height} in {dt:.2f}s")
 
     img = np.clip(img, 0.0, 1.0)
     write_png(args.output, img)
