@@ -489,17 +489,12 @@ def main(argv=None) -> int:
         pipe.set_scene(scene)
         denoiser = DenoiseCompositor(temporal_alpha=args.temporal)
         k = args.frames_in_flight
-        if k > 1 and args.temporal:
-            raise SystemExit(
-                "--frames-in-flight batches frames in one dispatch; the "
-                "temporal blend is inherently sequential — drop one flag"
-            )
         t0 = time.perf_counter()
         if k > 1:
             # Frames-in-flight batch: K frames (raytrace + denoise) in ONE
             # dispatch — the TPU analogue of the reference's 3-deep frame
             # ring (DeviceResources.cpp:580-598). Writes the LAST frame.
-            if args.denoise:
+            if args.denoise and args.temporal is None:
                 from ..models.realtime import make_realtime_denoise_frames_step
 
                 step = make_realtime_denoise_frames_step(
@@ -511,6 +506,10 @@ def main(argv=None) -> int:
                     pipe.scene_data["env"], denoiser.params,
                 )
                 final = imgs[-1]
+            elif args.denoise:
+                # temporal: history scanned through the batch in-device
+                d_k, s_k = pipe.render_frames(0, k)
+                final = denoiser.dispatch_frames(d_k, s_k)[-1]
             else:
                 d_k, s_k = pipe.render_frames(0, k)
                 final = d_k[-1] + s_k[-1]

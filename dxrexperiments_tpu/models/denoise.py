@@ -178,6 +178,36 @@ def denoise_composite_frames(
     return jax.lax.map(body, (direct_lighting, indirect_specular))
 
 
+@functools.partial(jax.jit, static_argnames=("impl",))
+def denoise_composite_frames_temporal(
+    direct_lighting: jnp.ndarray,
+    indirect_specular: jnp.ndarray,
+    params: dict,
+    history: jnp.ndarray,
+    history_valid: jnp.ndarray,
+    alpha: jnp.ndarray,
+    impl: str = "auto",
+):
+    """Temporal variant of the frames batch: the exponential blend is
+    sequential across frames, so a lax.scan carries the history through the
+    K composites inside the same dispatch. history_valid=False seeds the
+    carry with the first frame's composite (matching the sequential
+    DenoiseCompositor.dispatch semantics). Returns (final_history,
+    blended frames [K, H, W, 3])."""
+
+    def body(carry, args):
+        h, valid = carry
+        d, s = args
+        out = denoise_composite(d, s, params, impl=impl)
+        h2 = jnp.where(valid, temporal_blend(h, out, alpha), out)
+        return (h2, jnp.ones_like(valid)), h2
+
+    (h_final, _), outs = jax.lax.scan(
+        body, (history, history_valid), (direct_lighting, indirect_specular)
+    )
+    return h_final, outs
+
+
 def composite_tail(
     direct_lighting: jnp.ndarray, pass1: jnp.ndarray, params: dict
 ) -> jnp.ndarray:
@@ -255,3 +285,25 @@ class DenoiseCompositor:
                 )
             return self._history
         return out
+
+    def dispatch_frames(self, direct_lighting, indirect_specular) -> jnp.ndarray:
+        """Batched dispatch over a leading [K] frame axis (the
+        frames-in-flight batch, models/realtime.py) — one device dispatch
+        for the K filter chains, temporal history scanned through in-device
+        when temporal_alpha is set. Returns [K, H, W, 3]; history advances
+        exactly as K sequential dispatch() calls would."""
+        if self.temporal_alpha is None:
+            return denoise_composite_frames(
+                direct_lighting, indirect_specular, self.params
+            )
+        frame_shape = direct_lighting.shape[1:]
+        if self._history is None or self._history.shape != frame_shape:
+            hist = jnp.zeros(frame_shape, jnp.float32)
+            valid = jnp.asarray(False)
+        else:
+            hist, valid = self._history, jnp.asarray(True)
+        self._history, outs = denoise_composite_frames_temporal(
+            direct_lighting, indirect_specular, self.params, hist, valid,
+            jnp.float32(self.temporal_alpha),
+        )
+        return outs

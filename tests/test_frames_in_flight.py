@@ -189,6 +189,33 @@ def test_denoise_composite_frames():
         )
 
 
+def test_dispatch_frames_temporal_matches_sequential():
+    """Batched temporal dispatch (lax.scan-carried history) must advance
+    the history exactly as K sequential dispatch() calls, including the
+    first-frame seeding and continuation across batches."""
+    from dxrexperiments_tpu.models.denoise import DenoiseCompositor
+
+    rng = np.random.default_rng(11)
+    d = jnp.asarray(rng.random((5, 12, 20, 3), np.float32))
+    s = jnp.asarray(rng.random((5, 12, 20, 3), np.float32))
+    seq = DenoiseCompositor(temporal_alpha=0.3)
+    bat = DenoiseCompositor(temporal_alpha=0.3)
+    want = [np.asarray(seq.dispatch(d[i], s[i])) for i in range(5)]
+    # two batches (3 + 2) to exercise history continuation across dispatches
+    got = list(np.asarray(bat.dispatch_frames(d[:3], s[:3])))
+    got += list(np.asarray(bat.dispatch_frames(d[3:], s[3:])))
+    for i in range(5):
+        np.testing.assert_allclose(want[i], got[i], atol=1e-6, err_msg=str(i))
+    np.testing.assert_allclose(
+        np.asarray(seq._history), np.asarray(bat._history), atol=1e-6
+    )
+    # non-temporal dispatch_frames == plain batched composite
+    plain = DenoiseCompositor()
+    out = plain.dispatch_frames(d[:2], s[:2])
+    ref = denoise_composite(d[0], s[0], plain.params)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out)[0], atol=1e-6)
+
+
 def test_realtime_denoise_frames_step():
     """The combined one-dispatch step: K raytraced frames + their denoised
     composites, matching the two-call chain."""
