@@ -160,10 +160,22 @@ def make_realtime_denoise_frames_step(
     from ..trace.integrator import make_render_step as _mrs
     from .denoise import denoise_composite_frames
 
-    rt_step = _mrs(
-        scene, width, height, mode="realtime", jitter_scale=10.0,
-        impl=impl, frames_per_step=frames_per_step,
-    )
+    if frames_per_step == 1:
+        # K=1 still takes stacked [1] cameras: wrap the single-frame step.
+        rt_one = _mrs(
+            scene, width, height, mode="realtime", jitter_scale=10.0,
+            impl=impl,
+        )
+
+        def rt_step(options, cameras, lights, env):
+            cam = jax.tree.map(lambda x: x[0], cameras)
+            out = rt_one(options, cam, lights, env)
+            return jax.tree.map(lambda x: x[None], out)
+    else:
+        rt_step = _mrs(
+            scene, width, height, mode="realtime", jitter_scale=10.0,
+            impl=impl, frames_per_step=frames_per_step,
+        )
 
     @jax.jit
     def step(options, cameras, lights, env, denoise_params):
