@@ -34,9 +34,9 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = "round3/64a3f87"
+SECONDARY_RECORDED_AT = "round3/fif-continuation"
 SECONDARY_RECORDED = {
-    "realtime_denoise_1080p_fps": 56.3,
+    "realtime_denoise_1080p_fps": 63.3,
     "instanced_983k_512_flattened_ms": 627,
     "instanced_983k_512_two_level_ms": 727,
     "closest_262k_rays_200k_tris_ms": 30.0,
