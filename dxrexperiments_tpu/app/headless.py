@@ -388,6 +388,24 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--tonemap", action="store_true", help="Reinhard+gamma the progressive output")
     ap.add_argument(
+        "--save-state", default=None, metavar="PATH",
+        help="progressive: write the accumulation checkpoint (accum image, "
+        "count, camera VP, RNG state, frame index) to PATH.npz when the "
+        "render finishes — the device-lost-recovery analogue "
+        "(DeviceResources.cpp:447-487) made durable",
+    )
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="N",
+        help="progressive: also write --save-state every N frames, so a "
+        "long render survives a process death mid-run",
+    )
+    ap.add_argument(
+        "--resume", default=None, metavar="PATH",
+        help="progressive: resume from a --save-state checkpoint; the "
+        "continuation is bit-identical to the uninterrupted render "
+        "(same RNG draw sequence, same accumulation)",
+    )
+    ap.add_argument(
         "--accel",
         default="auto",
         choices=["auto", "two-level"],
@@ -427,6 +445,19 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
+    if (args.save_state or args.resume) and args.pipeline != "progressive":
+        ap.error("--save-state/--resume checkpoint the progressive "
+                 "accumulation state; use --pipeline progressive")
+    if (args.save_state or args.resume) and args.shard:
+        ap.error("--save-state/--resume is the single-process path; "
+                 "combine with --shard is not supported")
+    if args.checkpoint_every and not args.save_state:
+        ap.error("--checkpoint-every needs --save-state PATH")
+    if args.frames_in_flight < 1:
+        ap.error(f"--frames-in-flight must be >= 1 (got {args.frames_in_flight})")
+    if args.frames_in_flight > 1 and args.pipeline != "realtime":
+        ap.error("--frames-in-flight is the realtime frames-in-flight batch; "
+                 "it has no effect on --pipeline progressive")
     args.spp = max(args.spp, 1)
     width, height = (int(x) for x in args.size.lower().split("x"))
     if width < 1 or height < 1:
@@ -461,8 +492,15 @@ def main(argv=None) -> int:
             pipe.set_scene(scene)
         base_tf = np.stack([inst.transform for inst in scene.instances])
 
+        start_frame = 0
+        if args.resume:
+            done = pipe.load_checkpoint(args.resume)
+            start_frame = done if done is not None else pipe.accum_count
+            print(f"resumed {args.resume}: {pipe.accum_count} accumulated "
+                  f"samples, continuing at frame {start_frame}")
+
         t0 = time.perf_counter()
-        for frame in range(args.spp):
+        for frame in range(start_frame, args.spp):
             if args.animate_instances:
                 yaw = 0.05 * frame
                 c, s = np.cos(yaw), np.sin(yaw)
@@ -474,7 +512,16 @@ def main(argv=None) -> int:
             pipe.update(elapsed_time=frame / 60.0, elapsed_frames=frame)
             out = pipe.render()
             stats.frame()
+            if (
+                args.save_state
+                and args.checkpoint_every
+                and (frame + 1) % args.checkpoint_every == 0
+                and frame + 1 < args.spp
+            ):
+                pipe.save_checkpoint(args.save_state, frames_done=frame + 1)
         out.block_until_ready()
+        if args.save_state:
+            pipe.save_checkpoint(args.save_state, frames_done=args.spp)
         dt = time.perf_counter() - t0
         img = np.asarray(out)
         if args.tonemap:

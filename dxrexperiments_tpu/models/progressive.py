@@ -314,10 +314,14 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
                 if k not in ("lights", "env")
             )
         else:
-            geo_key = cfg + tuple(
-                id(v) for k, v in sorted(self.scene_data.items())
+            geo_vals = tuple(
+                v for k, v in sorted(self.scene_data.items())
                 if k not in ("lights", "env")
             )
+            geo_key = cfg + tuple(id(v) for v in geo_vals)
+            # Pin the keyed objects for the cache entry's lifetime so
+            # CPython can never recycle their id()s into a stale hit.
+            self._geo_pin = geo_vals
         if getattr(self, "_geo_key", None) != geo_key:
             self._step = make_progressive_step(
                 self.scene_data,
@@ -366,19 +370,34 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
         self.accum_count = int(state["accum_count"])
         self.last_vp = state["last_vp"]
 
-    def save_checkpoint(self, path: str) -> None:
+    def save_checkpoint(self, path: str, frames_done: int | None = None) -> None:
         """Persist the restartable accumulation state — the reference's
         implicit (accum texture, accumCount) progress made durable
-        (SURVEY.md §5 checkpoint/resume)."""
+        (SURVEY.md §5 checkpoint/resume; the device-lost-recovery analogue,
+        /root/reference/src/utils/DeviceResources.cpp:447-487).
+
+        Also records the host RNG state and (optionally) the frame index,
+        so a resumed render draws the SAME jitter sequence the
+        uninterrupted run would — the continuation is bit-identical."""
+        import json
+
         s = self.state_dict()
+        rng_state = json.dumps(self.rng.bit_generator.state).encode()
         np.savez(
             path,
             accum=s["accum"],
             accum_count=np.asarray(s["accum_count"]),
             last_vp=s["last_vp"] if s["last_vp"] is not None else np.zeros((0,)),
+            rng_state=np.frombuffer(rng_state, dtype=np.uint8),
+            frames_done=np.asarray(-1 if frames_done is None else frames_done),
         )
 
-    def load_checkpoint(self, path: str) -> None:
+    def load_checkpoint(self, path: str) -> int | None:
+        """Restore a save_checkpoint file. Returns the recorded frame index
+        (None for checkpoints without one) so CLI loops can continue at the
+        exact frame the save happened."""
+        import json
+
         z = np.load(path if path.endswith(".npz") else path + ".npz")
         self.load_state_dict(
             {
@@ -387,3 +406,10 @@ class ProgressiveRaytracingPipeline(RaytracingPipeline):
                 "last_vp": z["last_vp"] if z["last_vp"].size else None,
             }
         )
+        if "rng_state" in z.files:
+            self.rng.bit_generator.state = json.loads(
+                z["rng_state"].tobytes().decode()
+            )
+        if "frames_done" in z.files and int(z["frames_done"]) >= 0:
+            return int(z["frames_done"])
+        return None

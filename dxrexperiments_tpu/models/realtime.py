@@ -59,10 +59,11 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
             self.scene_data = dict(self.scene_data, lights=default_lights(elapsed_time))
 
     def _step_fn(self):
-        geo_key = (self.width, self.height) + tuple(
-            id(v) for k, v in sorted(self.scene_data.items())
+        geo_vals = tuple(
+            v for k, v in sorted(self.scene_data.items())
             if k not in ("lights", "env")
         )
+        geo_key = (self.width, self.height) + tuple(id(v) for v in geo_vals)
         if getattr(self, "_geo_key", None) != geo_key:
             self._step = make_render_step(
                 self.scene_data,
@@ -72,6 +73,10 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
                 jitter_scale=10.0,
             )
             self._geo_key = geo_key
+            # Pin the keyed objects for the cache entry's lifetime so CPython
+            # can never recycle their id()s into a stale-hit (the compiled
+            # step also closes over them, but keep the guarantee local).
+            self._geo_pin = geo_vals
         return self._step
 
     def render(self):
@@ -91,13 +96,15 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
     # per host dispatch that async dispatch does not hide, so batching K
     # frames' cameras into one dispatch trades K frames of input latency
     # (the same latency class the reference's in-flight ring accepts) for
-    # amortized dispatch cost. Bit-identical to K sequential render() calls.
+    # amortized dispatch cost. Bit-identical to K sequential render() calls
+    # when lights/env are static across the batch (see render_frames).
 
     def _frames_step_fn(self, k: int):
-        geo_key = (self.width, self.height, k) + tuple(
-            id(v) for kk, v in sorted(self.scene_data.items())
+        geo_vals = tuple(
+            v for kk, v in sorted(self.scene_data.items())
             if kk not in ("lights", "env")
         )
+        geo_key = (self.width, self.height, k) + tuple(id(v) for v in geo_vals)
         if getattr(self, "_frames_geo_key", None) != geo_key:
             self._frames_step = make_render_step(
                 self.scene_data,
@@ -108,6 +115,7 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
                 frames_per_step=k,
             )
             self._frames_geo_key = geo_key
+            self._frames_geo_pin = geo_vals  # id-reuse guard (see _step_fn)
         return self._frames_step
 
     def frame_cameras(self, elapsed_frames: int, k: int) -> dict:
@@ -123,7 +131,16 @@ class RealtimeRaytracingPipeline(RaytracingPipeline):
     def render_frames(self, elapsed_frames: int, k: int):
         """Render frames [elapsed_frames, elapsed_frames+k) in ONE dispatch.
         Returns (direct [k,H,W,3], indirect_specular [k,H,W,3]); the last
-        frame's AOVs become the pipeline's current outputs."""
+        frame's AOVs become the pipeline's current outputs.
+
+        Lights and env are FROZEN at dispatch time for all K frames: a
+        sequential update()+render() loop with owns_lights and animation
+        unpaused re-derives default_lights(elapsed_time) per frame, which
+        this batch does not. With animation paused (the reference default,
+        ProgressiveRaytracingPipeline.cpp:30) or a scene-owned static rig,
+        the batch is bit-identical to K sequential render() calls
+        (tested); unpaused owns_lights callers should step lights
+        themselves or stay on the per-frame path."""
         cameras = self.frame_cameras(elapsed_frames, k)
         out = self._frames_step_fn(k)(
             self.options,
