@@ -103,9 +103,16 @@ def main() -> None:
         return corr - 0.3 * mae  # structure first, level second
 
     t0 = time.time()
-    best = objective(p0)
-    print(f"start objective {best:.4f}  ({time.time()-t0:.1f}s/eval)", flush=True)
     p = p0.copy()
+    if rounds == 0:
+        # report-only mode: skip the descent, just re-render at the fitted
+        # defaults (already baked into parity_reference.py) and report
+        print("rounds=0: report-only at the fitted defaults", flush=True)
+        best = -1.0
+    else:
+        best = objective(p0)
+        print(f"start objective {best:.4f}  ({time.time()-t0:.1f}s/eval)",
+              flush=True)
     for rnd in range(rounds):
         improved = False
         for i in range(len(p)):
@@ -129,6 +136,7 @@ def main() -> None:
     sd, out = render(p, FINAL_W, FINAL_H)
     ours = pr.srgb(np.asarray(out["direct"]))
     corr, hue, mae = pr.metrics(ours, ref_hi, mask_hi)
+    per_ch = pr.metrics_per_channel(ours, ref_hi, mask_hi)
 
     # second shipped capture: IndirectSpecular.PNG vs our specular AOV
     from PIL import Image
@@ -157,7 +165,9 @@ def main() -> None:
                        for k, v in b.items()},
         },
         "direct": {"luma_corr": round(corr, 3), "hue_mae": round(hue, 4),
-                   "luma_mae": round(mae, 4)},
+                   "luma_mae": round(mae, 4),
+                   "rgb_corr": [round(v, 3) for v in per_ch["corr"]],
+                   "rgb_mae": [round(v, 4) for v in per_ch["mae"]]},
         "indirect_specular": {"luma_corr": round(s_corr, 3),
                               "hue_mae": round(s_hue, 4),
                               "luma_mae": round(s_mae, 4)},

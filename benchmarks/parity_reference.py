@@ -137,6 +137,21 @@ def metrics(ours, ref, mask):
     return corr, hue_mae, mae
 
 
+def metrics_per_channel(ours, ref, mask):
+    """Per-channel correlation/MAE (VERDICT r3 #6: the luma-only metric
+    left the visible hue difference unquantified). Returns
+    {"corr": [r, g, b], "mae": [r, g, b]}."""
+    corr = [
+        float(np.corrcoef(ours[mask][:, c], ref[mask][:, c])[0, 1])
+        for c in range(3)
+    ]
+    mae = [
+        float(np.abs(ours[mask][:, c] - ref[mask][:, c]).mean())
+        for c in range(3)
+    ]
+    return {"corr": corr, "mae": mae}
+
+
 def main():
     import jax
 

@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -285,3 +286,25 @@ def test_sharded_realtime_env_deferred_matches_single_chip():
         np.testing.assert_allclose(
             np.asarray(outs[k]), np.asarray(ref[k]), atol=1e-5, err_msg=k
         )
+
+
+@pytest.mark.slow
+def test_multiproc_dryrun_two_hosts():
+    """Multi-HOST path (VERDICT r3 #5): two OS processes x 4 virtual CPU
+    devices joined via jax.distributed (Gloo as the DCN stand-in), running
+    the sharded progressive step over the global 4x2 mesh with the tile
+    axis spanning the process boundary; each worker asserts equivalence
+    with the single-process render (benchmarks/multiproc_dryrun.py)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "benchmarks/multiproc_dryrun.py"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=dict(os.environ, DXR_MP_PORT="12377"),
+        capture_output=True,
+        text=True,
+        timeout=590,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert r.stdout.count("MULTIPROC_DRYRUN_OK") == 2, r.stdout
