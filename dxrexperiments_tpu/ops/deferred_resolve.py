@@ -1,0 +1,189 @@
+"""Miss-compacted deferred gathers (round 4).
+
+The deferred env/albedo modes (ops/fused_sample_pallas.py,
+ops/fused_traverse_pallas.py) resolve texture lookups OUTSIDE the
+megakernel with XLA gathers, because gathers don't lower in Mosaic. On
+this hardware an XLA gather costs ~25 ns per gathered ROW regardless of
+index locality (RESULTS.md "Environment sampling"), so resolving over all
+N ray rows pays full price for every row whose contribution weight is
+ZERO — and env only contributes where a ray MISSED
+(/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:160-164,
+RealtimeRaytracing.hlsl:119-126), albedo textures only where a ray HIT a
+textured material. In closed scenes (Cornell + HDR env) the needed
+fraction is a few percent; in open scenes it's the hit fraction.
+
+``compact_apply`` evaluates ``where(need, fn(packed), 0)`` by compacting
+the needed rows to a STATIC capacity (XLA needs static shapes), applying
+``fn`` to K ≪ N rows, and scattering the results back. A tiered
+``lax.cond`` picks the smallest capacity that fits the runtime count and
+falls back to the full-width resolve when none does — correct for every
+scene, fast where sparsity exists. The traversal-compaction negative
+(trace/integrator.py dead-lane notes) does NOT transfer here: dead lanes
+are free inside the sweep kernels but cost full price in XLA gathers.
+
+Index construction methods (both static-shape, knob-selected so the chip
+decides): ``nonzero`` = jnp.nonzero(size=K) (cumsum + bincount scatter),
+``sort`` = one stable sort_key_val on the need mask.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def _knobs() -> tuple[bool, tuple[float, ...], str]:
+    """DXR_COMPACT=0 disables; DXR_COMPACT_CAPS="0.125,0.5" sets the
+    capacity tiers (fractions of N, ascending); DXR_COMPACT_METHOD
+    in {nonzero, sort}. Read at trace time (outside jit) like _ft_knobs."""
+    on = os.environ.get("DXR_COMPACT", "1") != "0"
+    caps = tuple(
+        float(x)
+        for x in os.environ.get("DXR_COMPACT_CAPS", "0.125,0.5").split(",")
+        if x
+    )
+    method = os.environ.get("DXR_COMPACT_METHOD", "nonzero")
+    return on, caps, method
+
+
+def _round_cap(n: int, frac: float) -> int:
+    """Capacity tier: ceil(n*frac) rounded up to a sublane multiple, <= n
+    (no floor beyond that — small test images must exercise the compact
+    branches too)."""
+    cap = -(-int(n * frac) // 8) * 8
+    return max(8, min(cap, n))
+
+
+def _compact_indices(need: jnp.ndarray, cap: int, method: str) -> jnp.ndarray:
+    """First-`count` slots hold the indices of needed rows (ascending);
+    the rest point at row 0 (their contributions are masked to zero)."""
+    n = need.shape[0]
+    if method == "sort":
+        key = jnp.where(need, 0, 1).astype(jnp.int32)
+        _, idx = jax.lax.sort_key_val(key, jnp.arange(n, dtype=jnp.int32))
+        return idx[:cap]
+    (idx,) = jnp.nonzero(need, size=cap, fill_value=0)
+    return idx.astype(jnp.int32)
+
+
+def compact_apply(
+    fn,
+    need: jnp.ndarray,
+    packed: jnp.ndarray,
+    out_dim: int = 3,
+    caps: tuple[float, ...] | None = None,
+    method: str | None = None,
+    enabled: bool | None = None,
+) -> jnp.ndarray:
+    """[n, out_dim] result of ``where(need[:, None], fn(packed), 0)``,
+    gathering/evaluating only ~count rows when the runtime count fits a
+    capacity tier.
+
+    fn: [k, packed_dim] -> [k, out_dim], shape-polymorphic (applied at
+    each capacity AND full width). packed: [n, packed_dim] row inputs
+    (directions+weights / uv+mid packed into ONE array so the compaction
+    gather is a single wide-row gather — gather time is sub-linear in row
+    width). need: [n] bool.
+    """
+    k_on, k_caps, k_method = _knobs()
+    if enabled is None:
+        enabled = k_on
+    caps = k_caps if caps is None else caps
+    method = k_method if method is None else method
+
+    n = need.shape[0]
+    count = jnp.sum(need.astype(jnp.int32))
+
+    def full(_):
+        return jnp.where(need[:, None], fn(packed), 0.0)
+
+    cap_sizes = sorted({_round_cap(n, f) for f in caps if 0 < f < 1})
+    if not enabled or not cap_sizes or cap_sizes[0] >= n:
+        return full(None)
+
+    def make_compact(cap):
+        def go(_):
+            idx = _compact_indices(need, cap, method)
+            valid = (jnp.arange(cap, dtype=jnp.int32) < count)[:, None]
+            vals = fn(packed[idx]) * valid
+            return jnp.zeros((n, out_dim), vals.dtype).at[idx].add(vals)
+
+        return go
+
+    def build(tiers):
+        if not tiers:
+            return full
+        rest = build(tiers[1:])
+
+        def go(_):
+            return jax.lax.cond(count <= tiers[0], make_compact(tiers[0]), rest, None)
+
+        return go
+
+    return build(cap_sizes)(None)
+
+
+def weighted_env(
+    env: dict,
+    dirs: jnp.ndarray,
+    weights: jnp.ndarray,
+    env_kind: int,
+    **kwargs,
+) -> jnp.ndarray:
+    """[n, 3] = weights * sample_environment(env, safe(dirs)), resolved
+    compacted over the rows where any weight channel is nonzero — the
+    deferred-env combine term (env contributes only on miss; the kernel
+    writes zero weights everywhere else)."""
+    from ..scene.envmap import sample_environment
+    from .fused_traverse_pallas import _safe_dirs
+
+    def fn(rows):
+        return rows[:, 3:6] * sample_environment(
+            env, _safe_dirs(rows[:, 0:3]), static_kind=env_kind
+        )
+
+    need = jnp.any(weights != 0.0, axis=-1)
+    return compact_apply(fn, need, jnp.concatenate([dirs, weights], axis=1), **kwargs)
+
+
+def masked_env(
+    env: dict,
+    dirs: jnp.ndarray,
+    need: jnp.ndarray,
+    env_kind: int,
+    **kwargs,
+) -> jnp.ndarray:
+    """[n, 3] env radiance where ``need`` (zeros elsewhere) — the
+    primary-miss env term, compacted to the rows any sample shows."""
+    from ..scene.envmap import sample_environment
+
+    def fn(rows):
+        return sample_environment(env, rows, static_kind=env_kind)
+
+    return compact_apply(fn, need, dirs, **kwargs)
+
+
+def masked_albedo(
+    textures: dict,
+    uv: jnp.ndarray,
+    mid: jnp.ndarray,
+    need: jnp.ndarray,
+    **kwargs,
+) -> jnp.ndarray:
+    """[n, 3] albedo-texture sample where ``need`` (zeros elsewhere; the
+    combine coefficients are zero there too, so the zero never shows).
+    sample_albedo returns 1.0 for untextured materials — preserved on
+    needed rows; non-needed rows become 0 instead of 1, which is
+    equivalent under the zero coefficients."""
+    from ..scene.textures import sample_albedo
+
+    def fn(rows):
+        return sample_albedo(
+            textures, rows[:, 2].astype(jnp.int32), rows[:, 0:2]
+        )
+
+    packed = jnp.concatenate([uv, mid.astype(jnp.float32)[:, None]], axis=1)
+    return compact_apply(fn, need, packed, **kwargs)

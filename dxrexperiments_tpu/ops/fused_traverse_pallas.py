@@ -1483,9 +1483,17 @@ def _ft_progressive_deferred_impl(
     """Deferred sample sum: ONE kernel launch renders all S samples (each
     sample owns its out-row block), then XLA gathers resolve the deferred
     env — and, for textured scenes, the three albedo-texture samples — and
-    combine per sample. Returns the [H, W, 3] SUM over samples."""
+    combine per sample. Returns the [H, W, 3] SUM over samples.
+
+    Round 4: the resolve gathers are MISS-COMPACTED (ops/deferred_resolve):
+    env rows gather only where the bounce's env weight is nonzero (env
+    contributes only on miss — ProgressiveRaytracing.hlsl:160-164), the
+    shared primary-miss env only where ANY sample missed, and the albedo
+    textures only where a combine coefficient is nonzero. Gathers the same
+    values the full-width resolve does (deviation bounded by the last
+    float32 ulp of XLA's shape-dependent elementwise fusion; tested)."""
     from ..core.camera import primary_ray_grid
-    from ..scene.envmap import sample_environment
+    from . import deferred_resolve as dr
 
     tex = "textures" in scene
     out, inv = _ft_dispatch(
@@ -1496,60 +1504,86 @@ def _ft_progressive_deferred_impl(
     s_count = int(cameras["frame_count"].shape[0])
     env = scene["env"]
     s_rows = TEX_ROWS if tex else 16
+    # analytic env kinds (tex-deferred scenes under constant/gradient env)
+    # are cheap elementwise math — compacting them would only add cost
+    env_gathers = env_kind in (2, 3)
+
+    def w_env(dirs, weights):
+        """weights * env(dirs), miss-compacted when env is a texture."""
+        if env_gathers:
+            return dr.weighted_env(env, dirs, weights, env_kind)
+        from ..scene.envmap import sample_environment
+
+        return weights * sample_environment(
+            env, _safe_dirs(dirs), static_kind=env_kind
+        )
+
+    def rows3_at(base, r0):
+        return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
+
+    def row1_at(base, r0):
+        return _unperm(out[base + r0 : base + r0 + 1], inv)[:, 0]
 
     # Primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
     # raygen, so miss-lane env matches the wavefront path exactly. Jitter
     # only shifts the ray ORIGIN (pack_cameras), so the directions — and
-    # this env image — are shared by all S samples of one camera pose.
+    # this env image — are shared by all S samples of one camera pose;
+    # gather it only where at least one sample missed.
     cam0 = jax.tree.map(lambda x: x[0], cameras)
     _, d_prim = primary_ray_grid(
         cam0, width, height, 30.0, row0=py0, full_height=full_height
     )
-    e_p = sample_environment(env, d_prim.reshape(-1, 3), static_kind=env_kind)
+    hits = [row1_at(s_rows * si, 3) > 0.5 for si in range(s_count)]
+    if env_gathers:
+        any_miss = ~functools.reduce(jnp.logical_and, hits)
+        e_p = dr.masked_env(env, d_prim.reshape(-1, 3), any_miss, env_kind)
+    else:
+        from ..scene.envmap import sample_environment
+
+        e_p = sample_environment(
+            env, d_prim.reshape(-1, 3), static_kind=env_kind
+        )
+
+    def nz(x):
+        return jnp.any(x != 0.0, axis=-1)
 
     total = None
     for si in range(s_count):
         base = s_rows * si
-
-        def rows3(r0, base=base):
-            return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
-
-        def row1(r0, base=base):
-            return _unperm(out[base + r0 : base + r0 + 1], inv)[:, 0]
-
-        hit = row1(3) > 0.5
-        e_d = sample_environment(
-            env, _safe_dirs(rows3(4)), static_kind=env_kind
-        )
-        e_s = sample_environment(
-            env, _safe_dirs(rows3(10)), static_kind=env_kind
-        )
+        rows3 = functools.partial(rows3_at, base)
+        row1 = functools.partial(row1_at, base)
+        hit = hits[si]
+        w_d, w_s = rows3(7), rows3(13)
+        e_d_term = w_env(rows3(4), w_d)  # = w_d * env(d_diffuse)
+        e_s_term = w_env(rows3(10), w_s)
         if tex:
-            from ..scene.textures import sample_albedo
-
-            def tex_at(uv_row, mid_row):
+            def tex_at(uv_row, mid_row, need):
                 uv = jnp.stack([row1(uv_row), row1(uv_row + 1)], axis=-1)
-                mid = row1(mid_row).astype(jnp.int32)
-                return sample_albedo(scene["textures"], mid, uv)
+                return dr.masked_albedo(
+                    scene["textures"], uv, row1(mid_row), need
+                )
 
-            tex_p = tex_at(25, 27)
-            tex_d = tex_at(28, 30)
-            tex_s = tex_at(31, 33)
+            b_c, c_c, d_c = rows3(16), rows3(19), rows3(22)
+            # tex_p multiplies B, C and the diffuse-env term; rows where
+            # all three coefficients are zero never show it
+            tex_p = tex_at(25, 27, nz(b_c) | nz(c_c) | nz(e_d_term))
+            tex_d = tex_at(28, 30, nz(c_c))
+            tex_s = tex_at(31, 33, nz(d_c))
             part = (
                 rows3(0)  # A
-                + tex_p * rows3(16)  # B
-                + tex_p * tex_d * rows3(19)  # C
-                + tex_s * rows3(22)  # D
-                + tex_p * rows3(7) * e_d
-                + rows3(13) * e_s
+                + tex_p * b_c  # B
+                + tex_p * tex_d * c_c  # C
+                + tex_s * d_c  # D
+                + tex_p * e_d_term
+                + e_s_term
                 + jnp.where(hit[:, None], 0.0, e_p)
             )
         else:
             part = (
                 rows3(0)
                 + jnp.where(hit[:, None], 0.0, e_p)
-                + rows3(7) * e_d
-                + rows3(13) * e_s
+                + e_d_term
+                + e_s_term
             )
         total = part if total is None else total + part
     return total.reshape(height, width, 3)
@@ -1622,29 +1656,30 @@ def _ft_realtime_outputs_impl(
 
     # env-deferred combine (RealtimeRaytracing.hlsl miss->direct routing):
     # direct gets env(primary) on miss lanes, indirect_specular gets
-    # ws * env(spec_dir), color = direct + indirect_specular.
+    # ws * env(spec_dir), color = direct + indirect_specular. Both env
+    # resolves are miss-compacted (ops/deferred_resolve): the primary env
+    # gathers only the visible-background rows, the specular env only the
+    # rows whose bounce weight is nonzero (glossy hit + spec-ray miss).
     from ..core.camera import primary_ray_grid
-    from ..scene.envmap import sample_environment
+    from . import deferred_resolve as dr
 
     env = scene["env"]
-    hit = (
-        _unperm(out[10:11], inv)[:, 0].reshape(height, width, 1) > 0.5
-    )
+    hit_rows = _unperm(out[10:11], inv)[:, 0] > 0.5
+    hit = hit_rows.reshape(height, width, 1)
 
     # jitter only shifts ray ORIGINS (see _ft_progressive_deferred_impl),
     # so these directions — and the env image — match the kernel's raygen
     _, pdirs = primary_ray_grid(
         camera, width, height, 10.0, row0=py0, full_height=full_height
     )
-    e_p = sample_environment(
-        env, pdirs.reshape(-1, 3), static_kind=env_kind
+    e_p = dr.masked_env(
+        env, pdirs.reshape(-1, 3), ~hit_rows, env_kind
     ).reshape(height, width, 3)
-    sdirs = _safe_dirs(_unperm(out[11:14], inv))
-    e_s = sample_environment(env, sdirs, static_kind=env_kind).reshape(
-        height, width, 3
-    )
+    es_term = dr.weighted_env(
+        env, _unperm(out[11:14], inv), _unperm(out[14:17], inv), env_kind
+    ).reshape(height, width, 3)
     direct = jnp.where(hit, img3(0), e_p)
-    ispec = img3(3) + _unperm(out[14:17], inv).reshape(height, width, 3) * e_s
+    ispec = img3(3) + es_term
     return {
         "direct": direct,
         "indirect_specular": ispec,

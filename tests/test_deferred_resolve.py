@@ -1,0 +1,170 @@
+"""Miss-compacted deferred gathers (ops/deferred_resolve, round 4).
+
+Compaction gathers the same values the full-width resolve does and
+scatters them into zeros; the only permitted deviation is the last float32
+ulp from XLA fusing the elementwise math differently at the compact shape
+(tolerance 1e-5 relative / 2e-6 absolute). Covered: both index methods,
+counts that land in each capacity tier AND overflow to the full fallback,
+the env/albedo wrappers, and the deferred fused-traversal path end-to-end
+with compaction forced on/off.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dxrexperiments_tpu.ops import deferred_resolve as dr
+
+
+def _fn(rows):
+    return rows[:, :3] * 2.0 + rows[:, 3:4]
+
+
+@pytest.mark.parametrize("method", ["nonzero", "sort"])
+@pytest.mark.parametrize("frac", [0.01, 0.3, 0.9])
+def test_compact_apply_matches_full(method, frac):
+    rng = np.random.default_rng(hash((method, frac)) % 2**31)
+    n = 400
+    packed = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    need = jnp.asarray(rng.random(n) < frac)
+    want = np.where(np.asarray(need)[:, None], np.asarray(_fn(packed)), 0.0)
+    got = dr.compact_apply(
+        _fn, need, packed, out_dim=3, caps=(0.125, 0.5), method=method,
+        enabled=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_compact_apply_disabled_matches():
+    rng = np.random.default_rng(0)
+    packed = jnp.asarray(rng.normal(size=(64, 4)).astype(np.float32))
+    need = jnp.asarray(rng.random(64) < 0.2)
+    a = dr.compact_apply(_fn, need, packed, enabled=True, caps=(0.25,))
+    b = dr.compact_apply(_fn, need, packed, enabled=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_compact_apply_all_and_none_needed():
+    packed = jnp.arange(32.0, dtype=jnp.float32).reshape(8, 4)
+    none = dr.compact_apply(_fn, jnp.zeros(8, bool), packed, caps=(0.5,),
+                            enabled=True)
+    np.testing.assert_array_equal(np.asarray(none), 0.0)
+    full = dr.compact_apply(_fn, jnp.ones(8, bool), packed, caps=(0.5,),
+                            enabled=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(_fn(packed)))
+
+
+@pytest.mark.parametrize("kind_name", ["latlong", "cubemap"])
+def test_weighted_and_masked_env_match_full(kind_name):
+    from dxrexperiments_tpu.scene import envmap
+    from dxrexperiments_tpu.ops.fused_traverse_pallas import _safe_dirs
+    from dxrexperiments_tpu.scene.envmap import sample_environment
+
+    rng = np.random.default_rng(3)
+    if kind_name == "latlong":
+        env = envmap.latlong_env(rng.random((16, 32, 3)).astype(np.float32))
+    else:
+        env = envmap.cubemap_env(rng.random((6, 8, 8, 3)).astype(np.float32))
+    kind = int(env["kind"])
+    n = 300
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    weights = np.where(
+        rng.random((n, 1)) < 0.15, rng.random((n, 3)), 0.0
+    ).astype(np.float32)
+    # some dead lanes with zero dirs, like the kernel emits
+    dead = rng.random(n) < 0.3
+    dirs[dead] = 0.0
+    weights[dead] = 0.0
+    dirs, weights = jnp.asarray(dirs), jnp.asarray(weights)
+
+    got = dr.weighted_env(env, dirs, weights, kind, caps=(0.25,),
+                          enabled=True)
+    want = np.asarray(weights) * np.asarray(
+        sample_environment(env, _safe_dirs(dirs), static_kind=kind)
+    )
+    want = np.where(np.asarray(weights).any(1, keepdims=True), want, 0.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=2e-6)
+
+    need = jnp.asarray(~dead)
+    got_m = dr.masked_env(env, _safe_dirs(dirs), need, kind, caps=(0.9,),
+                          enabled=True)
+    want_m = np.where(
+        np.asarray(need)[:, None],
+        np.asarray(sample_environment(env, _safe_dirs(dirs), static_kind=kind)),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(got_m), want_m, rtol=1e-5, atol=2e-6)
+
+
+def test_masked_albedo_matches_full():
+    from dxrexperiments_tpu.scene.materials import Material
+    from dxrexperiments_tpu.scene.textures import (
+        checker_texture, pack_texture_table, sample_albedo,
+    )
+
+    table = pack_texture_table([
+        Material(),  # mat 0 untextured
+        Material(albedo_texture=checker_texture(4, size=16)),
+    ])
+    rng = np.random.default_rng(5)
+    n = 200
+    uv = jnp.asarray(rng.random((n, 2)).astype(np.float32))
+    mid = jnp.asarray(rng.integers(0, 2, n).astype(np.float32))
+    need = jnp.asarray(rng.random(n) < 0.2)
+    got = dr.masked_albedo(table, uv, mid, need, caps=(0.3,), enabled=True)
+    want = np.where(
+        np.asarray(need)[:, None],
+        np.asarray(sample_albedo(table, mid.astype(jnp.int32), uv)),
+        0.0,
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("scene_kind", ["env", "tex"])
+def test_deferred_fused_traverse_compaction_bit_identical(
+    scene_kind, monkeypatch
+):
+    """End-to-end: the deferred fused-traversal progressive sum with
+    compaction ON (tiny caps so the compact branch really runs) equals
+    compaction OFF (same gathered values; last-ulp fusion tolerance)."""
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.scene import envmap
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    w = h = 32
+    sc, cam = build_scene(
+        "cornell-tex" if scene_kind == "tex" else "cornell-glossy"
+    )
+    rng = np.random.default_rng(1)
+    sc.environment = envmap.latlong_env(
+        rng.random((8, 16, 3)).astype(np.float32)
+    )
+    cam.set_aspect(w, h)
+    sd = sc.build(accel="bvh")
+    assert ftp.supports_fused_traverse(sd, "progressive", False)
+    cams = {
+        k: v[None]
+        for k, v in camera_params(cam, frame_count=0, accum_count=0).items()
+    }
+    kind = int(sd["env"]["kind"])
+
+    def run():
+        ftp._ft_progressive_deferred_impl.clear_cache()
+        return np.asarray(
+            ftp.fused_traverse_progressive_sum(
+                sd, default_options(), cams, w, h, kind, interpret=True
+            )
+        )
+
+    monkeypatch.setenv("DXR_COMPACT", "0")
+    base = run()
+    monkeypatch.setenv("DXR_COMPACT", "1")
+    monkeypatch.setenv("DXR_COMPACT_CAPS", "0.1,0.6")
+    for method in ("nonzero", "sort"):
+        monkeypatch.setenv("DXR_COMPACT_METHOD", method)
+        np.testing.assert_allclose(run(), base, rtol=3e-6, atol=1e-6,
+                                   err_msg=method)
+    assert base.any()
