@@ -157,11 +157,18 @@ def masked_env(
     **kwargs,
 ) -> jnp.ndarray:
     """[n, 3] env radiance where ``need`` (zeros elsewhere) — the
-    primary-miss env term, compacted to the rows any sample shows."""
+    primary-miss env term, compacted to the rows any sample shows.
+
+    Directions are safe-guarded inside fn: capacity fill slots all point at
+    row 0, which may be a dead lane carrying a zero direction (wavefront
+    secondary batches); un-guarded that row would produce NaN radiance that
+    the ``* valid`` zero-mask cannot cancel (NaN * 0 = NaN) and the scatter
+    would poison row 0."""
     from ..scene.envmap import sample_environment
+    from .fused_traverse_pallas import _safe_dirs
 
     def fn(rows):
-        return sample_environment(env, rows, static_kind=env_kind)
+        return sample_environment(env, _safe_dirs(rows), static_kind=env_kind)
 
     return compact_apply(fn, need, dirs, **kwargs)
 

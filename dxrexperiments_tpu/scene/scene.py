@@ -286,6 +286,28 @@ class Scene:
             scene_dict["uv2"] = jnp.asarray(uv_pad[:, 2])
 
         want_bvh = accel == "bvh" or (accel == "auto" and num_tris > BVH_THRESHOLD)
+        if accel == "auto" and not want_bvh and num_tris > 0:
+            # Texture-env (latlong/cubemap) and textured-albedo scenes:
+            # the brute megakernel can't resolve texture gathers in-kernel
+            # (fused_sample_pallas.supports_fused rejects them), so without
+            # a BVH these scenes fall to the 9-launch wavefront path. The
+            # fused-TRAVERSAL megakernel runs them DEFERRED (bounce dirs +
+            # weights out, miss-compacted XLA gathers outside) — attach a
+            # BVH so small scenes ride it (round 4; eligibility mirrors
+            # supports_fused_traverse's rig/material gates).
+            from .lights import light_counts
+            from ..ops.fused_traverse_pallas import MP_MAX_MATERIALS
+
+            d_n, p_n, a_n = light_counts(lights)
+            rig_ok = (
+                d_n <= 1 and p_n <= 1 and a_n <= 1 and d_n + p_n + a_n >= 1
+            )
+            deferred_texloads = (
+                int(env["kind"]) in (2, 3) or textures is not None
+            )
+            if (rig_ok and deferred_texloads
+                    and len(materials) <= MP_MAX_MATERIALS):
+                want_bvh = True
         if want_bvh and num_tris > 0:
             from ..accel import bvh as bvh_mod
             from ..ops.traverse_pallas import pack_for_traversal

@@ -601,7 +601,20 @@ def _secondary_radiance(
         # bounce-ray unions actually shrink (see test_ray_sorting).
     )
     hit = is_hit & active
-    env_col = sample_environment(scene["env"], directions, env_kind)
+    # Env contributes only where an ACTIVE lane MISSED
+    # (ProgressiveRaytracing.hlsl:160-164): for texture env kinds the
+    # ~25 ns/row XLA gather is paid only on those rows (miss-compacted,
+    # ops/deferred_resolve); analytic kinds are elementwise math and stay
+    # full-width.
+    if env_kind in (2, 3):
+        from ..ops import deferred_resolve as _dr
+
+        env_term = _dr.masked_env(
+            scene["env"], directions, active & ~is_hit, env_kind
+        )
+    else:
+        env_col = sample_environment(scene["env"], directions, env_kind)
+        env_term = jnp.where(active[..., None], env_col, 0.0)
 
     seed = seeds  # shade() re-seeds identically per invocation
     seed, direct = _direct_lighting(
@@ -619,9 +632,7 @@ def _secondary_radiance(
         # realtime: albedo * direct / pi (RealtimeRaytracing.hlsl:102)
         shade_col = mat["albedo"] * direct / M_PI
 
-    return jnp.where(
-        hit[..., None], shade_col, jnp.where(active[..., None], env_col, 0.0)
-    )
+    return jnp.where(hit[..., None], shade_col, env_term)
 
 
 # --------------------------------------------------------------------------- #
@@ -662,7 +673,15 @@ def trace_rays(
     hit, position, normal, mat = _trace_closest(
         scene, origins, directions, 0.0, RAY_MAX_T, cull=True, impl=impl
     )
-    env_col = sample_environment(scene["env"], directions, env_kind)
+    # env_col is consumed only under ~hit (miss shader semantics), so for
+    # texture env kinds gather only the miss rows (zeros on hit rows are
+    # never selected); analytic kinds stay full-width elementwise.
+    if env_kind in (2, 3):
+        from ..ops import deferred_resolve as _dr
+
+        env_col = _dr.masked_env(scene["env"], directions, ~hit, env_kind)
+    else:
+        env_col = sample_environment(scene["env"], directions, env_kind)
 
     if ao_only:
         ao = _ambient_occlusion(scene, options, position, normal, seeds, hit, impl)

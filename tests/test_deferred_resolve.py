@@ -121,6 +121,76 @@ def test_masked_albedo_matches_full():
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=2e-6)
 
 
+def test_auto_build_routes_texture_env_to_ft():
+    """Small texture-env / textured-albedo scenes auto-attach a BVH so they
+    ride the fused-traversal deferred megakernel instead of the wavefront
+    path (round 4); plain small scenes keep the brute pytree."""
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.scene import envmap
+
+    sc, _ = build_scene("cornell-glossy")
+    assert "bvh" not in sc.build()  # analytic env: brute megakernel
+
+    sc, _ = build_scene("cornell-glossy")
+    rng = np.random.default_rng(0)
+    sc.environment = envmap.latlong_env(
+        rng.random((8, 16, 3)).astype(np.float32)
+    )
+    sd = sc.build()
+    assert "bvh" in sd
+    assert ftp.supports_fused_traverse(sd, "progressive", False)
+    assert ftp.supports_fused_traverse(sd, "realtime", False)
+
+    sc, _ = build_scene("cornell-tex")  # textured albedo, analytic env
+    sd = sc.build()
+    assert "bvh" in sd
+    assert ftp.supports_fused_traverse(sd, "progressive", False)
+
+
+@pytest.mark.parametrize("mode", ["progressive", "realtime"])
+def test_wavefront_env_compaction_matches(mode, monkeypatch):
+    """The wavefront path's primary + secondary env evals (miss-shader
+    semantics, ProgressiveRaytracing.hlsl:160-164) gather only the rows an
+    active lane missed when compaction is on; the rendered sample must
+    match the full-width resolve (last-ulp fusion tolerance)."""
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.scene import envmap
+    from dxrexperiments_tpu.trace.integrator import (
+        default_options, render_sample,
+    )
+
+    w = h = 24
+    sc, cam = build_scene("cornell-glossy")
+    rng = np.random.default_rng(7)
+    sc.environment = envmap.latlong_env(
+        rng.random((8, 16, 3)).astype(np.float32)
+    )
+    cam.set_aspect(w, h)
+    sd = sc.build(accel="none")
+    cp = camera_params(cam, frame_count=0, accum_count=0)
+    kind = int(sd["env"]["kind"])
+
+    def run():
+        # render_sample is jitted; the compaction knobs are read at TRACE
+        # time, so drop the cache between knob settings.
+        render_sample.clear_cache()
+        return np.asarray(
+            render_sample(
+                sd, default_options(), cp, w, h, mode=mode, impl="jnp",
+                env_kind=kind,
+            )["color"]
+        )
+
+    monkeypatch.setenv("DXR_COMPACT", "0")
+    base = run()
+    monkeypatch.setenv("DXR_COMPACT", "1")
+    monkeypatch.setenv("DXR_COMPACT_CAPS", "0.15,0.6")
+    np.testing.assert_allclose(run(), base, rtol=3e-6, atol=1e-6)
+    assert base.any()
+
+
 @pytest.mark.parametrize("scene_kind", ["env", "tex"])
 def test_deferred_fused_traverse_compaction_bit_identical(
     scene_kind, monkeypatch
