@@ -524,18 +524,23 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
 def _secondary_radiance(
     mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int,
     realtime: bool = False, t_d=None, clusters=None, cl_ref=None,
-    occ_ref=None,
+    occ_ref=None, defer_env: bool = False,
 ):
     """Depth-1 radiance: closest hit, direct lighting, emissive — specular
     and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
     parity; realtime mode omits the emissive term,
     RealtimeRaytracing.hlsl:102). t_d: shared _t_rows for origin set `o`.
-    Returns 3-tuple [TILE_R]."""
+
+    defer_env (texture env kinds): miss lanes contribute 0 in-kernel; the
+    returned env mask (active & miss) marks where the host must add
+    env(d) — resolved OUTSIDE the kernel with miss-compacted XLA gathers
+    (the same deferred pattern as fused_traverse_pallas).
+    Returns (3-tuple [TILE_R], env mask or None)."""
     h = _closest_hit(
         mt_ref, attr_ref, o, d, RAY_EPSILON, None, cull=False, t_d=t_d
     )
     hit = h["hit"] & active
-    env = _env_color(d, const_ref, env_kind)
+    env = None if defer_env else _env_color(d, const_ref, env_kind)
     direct = _direct_lighting(
         mt_ref, const_ref, h["pos"], h["normal"], pick_draw, hit,
         clusters=clusters, cl_ref=cl_ref, occ_ref=occ_ref,
@@ -546,10 +551,13 @@ def _secondary_radiance(
         shade = at[A_ALBEDO + k] * direct[k] / M_PI
         if not realtime:
             shade = at[A_EMISSIVE + k] * at[A_ESTR] + shade
-        out.append(
-            jnp.where(hit, shade, jnp.where(active, env[k], 0.0))
-        )
-    return tuple(out)
+        if defer_env:
+            out.append(jnp.where(hit, shade, 0.0))
+        else:
+            out.append(
+                jnp.where(hit, shade, jnp.where(active, env[k], 0.0))
+            )
+    return tuple(out), (active & ~hit if defer_env else None)
 
 
 def _sanitize(x):
@@ -575,7 +583,9 @@ def _fused_kernel(
     realtime: bool = False,
     full_height: int = 0,
     cluster_rows: int = 0,
+    env_deferred: bool = False,
 ):
+    assert not (realtime and env_deferred)
     i = pl.program_id(0)
     s = pl.program_id(1)
     c_tris = mt_ref.shape[0] // 4
@@ -645,7 +655,10 @@ def _fused_kernel(
     )
     hit = h["hit"]
     pos, normal, at = h["pos"], h["normal"], h["at"]
-    env_primary = _env_color(d, const_ref, env_kind)
+    # deferred env: the host recomputes the primary directions with
+    # primary_ray_grid (bit-identical raygen) and substitutes env on miss
+    # lanes itself — no in-kernel primary env at all.
+    env_primary = None if env_deferred else _env_color(d, const_ref, env_kind)
 
     # Shared origin-only t rows for EVERY sweep shooting from the primary
     # hit points: both direct-shadow sweeps + both secondary closest sweeps.
@@ -710,33 +723,41 @@ def _fused_kernel(
     if not realtime:
         @pl.when(~no_ind)
         def _sec_diffuse():
-            s3 = _secondary_radiance(
+            s3, emask = _secondary_radiance(
                 mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind,
                 t_d=t_d_pos, clusters=clusters, cl_ref=cl_ref,
-                occ_ref=occ_ref,
+                occ_ref=occ_ref, defer_env=env_deferred,
             )
             for k in range(3):
                 sec_ref[k, :] = s3[k]
+            if env_deferred:
+                sec_ref[6, :] = emask.astype(jnp.float32)
 
         @pl.when(no_ind)
         def _sec_diffuse_zero():
             for k in range(3):
                 sec_ref[k, :] = jnp.zeros_like(sec_ref[k, :])
+            if env_deferred:
+                sec_ref[6, :] = jnp.zeros_like(sec_ref[6, :])
 
     @pl.when(spec_any)
     def _sec_spec():
-        s3 = _secondary_radiance(
+        s3, emask = _secondary_radiance(
             mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active,
             env_kind, realtime=realtime, t_d=t_d_pos, clusters=clusters,
-            cl_ref=cl_ref, occ_ref=occ_ref,
+            cl_ref=cl_ref, occ_ref=occ_ref, defer_env=env_deferred,
         )
         for k in range(3):
             sec_ref[3 + k, :] = s3[k]
+        if env_deferred:
+            sec_ref[7, :] = emask.astype(jnp.float32)
 
     @pl.when(~spec_any)
     def _sec_spec_zero():
         for k in range(3):
             sec_ref[3 + k, :] = jnp.zeros_like(sec_ref[3 + k, :])
+        if env_deferred:
+            sec_ref[7, :] = jnp.zeros_like(sec_ref[7, :])
 
     spec_rad = tuple(sec_ref[3 + k, :] for k in range(3))
 
@@ -790,6 +811,8 @@ def _fused_kernel(
     show_fresnel = const_ref[1, F_SHOW_FRESNEL] > 0.5
     show_ispec = const_ref[1, F_SHOW_IND_SPEC] > 0.5
     show_idiff = const_ref[1, F_SHOW_IND_DIFF] > 0.5
+    wd = []
+    ws = []
     for k in range(3):
         specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
         f0 = at[A_SPECULAR + k]
@@ -804,8 +827,43 @@ def _fused_kernel(
         c = jnp.where(show_fresnel, fresnel, c)
         c = jnp.where(show_ispec, refl * specular * fresnel, c)
         c = jnp.where(show_idiff, albedo * indirect[k] / M_PI, c)
-        c = jnp.where(hit, c, env_primary[k])
+        if env_deferred:
+            # env-dependent terms resolve OUTSIDE the kernel; per-lane env
+            # weights follow the same mode selection as the color (exactly
+            # fused_traverse_pallas's env_deferred epilogue):
+            #   diffuse env: color += albedo * (sec_env * factor) / pi
+            #   specular env: color += refl * (sec_env * ratio) * fresnel
+            dmask = sec_ref[6, :]
+            smask = sec_ref[7, :]
+            ind_factor = jnp.where(cosine > 0.5, M_PI, nol * TWO_PI)
+            wd_on = ~(show_direct | show_albedo | show_fresnel | show_ispec)
+            ws_on = ~(show_direct | show_albedo | show_fresnel | show_idiff)
+            wd.append(_sanitize(jnp.where(
+                wd_on & ~no_ind,
+                albedo * ind_factor / M_PI * dmask, 0.0,
+            )))
+            ws.append(_sanitize(jnp.where(
+                ws_on, refl * ratio * fresnel * smask, 0.0
+            )))
+            c = jnp.where(hit, c, 0.0)
+        else:
+            c = jnp.where(hit, c, env_primary[k])
         color.append(_sanitize(c))
+
+    if env_deferred:
+        # Each sample s owns its own 16-row out block (out_specs maps s to
+        # block row s). Layout matches the fused-traversal deferred kernel:
+        # 0-2 color (env-free), 3 hit, 4-6 diffuse bounce dir, 7-9 its
+        # per-channel env weight, 10-12 specular bounce dir, 13-15 its
+        # weight. Host adds weight * env(dir) + primary env.
+        for k in range(3):
+            out_ref[k, :] = color[k]
+            out_ref[4 + k, :] = diff_dir[k]
+            out_ref[7 + k, :] = wd[k]
+            out_ref[10 + k, :] = phong_dir[k]
+            out_ref[13 + k, :] = ws[k]
+        out_ref[3, :] = hit.astype(jnp.float32)
+        return
 
     @pl.when(s == 0)
     def _init():
@@ -819,8 +877,16 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     """Static eligibility for the megakernel path."""
     if mode not in ("progressive", "realtime") or ao_only:
         return False
-    if "bvh" in scene or "tlas" in scene:
+    if "tlas" in scene:
         return False
+    if "bvh" in scene:
+        # A BVH auto-attached ONLY for texture-env routing (scene.py
+        # tex_autoroute tag) doesn't disqualify the brute megakernel:
+        # tiny scenes are ~2x faster brute than via traversal, so
+        # progressive keeps them here (env-deferred); realtime rides the
+        # FT deferred path through that BVH.
+        if not (mode == "progressive" and "tex_autoroute" in scene["bvh"]):
+            return False
     if int(scene["mt_pack"].shape[1]) > MAX_TRIS:
         return False
     from ..scene.lights import light_counts
@@ -833,7 +899,14 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
         # The megakernel bakes the reference's fixed 1 dir + 1 point rig;
         # arbitrary rigs take the wavefront path (integrator._direct_lighting).
         return False
-    return int(scene["env"]["kind"]) in (0, 1)
+    kind = int(scene["env"]["kind"])
+    if kind in (2, 3):
+        # Texture env (latlong/cubemap): progressive runs ENV-DEFERRED —
+        # bounce dirs + env weights out, env resolved with miss-compacted
+        # XLA gathers outside (round 4). Realtime keeps the FT/wavefront
+        # path for these kinds.
+        return mode == "progressive"
+    return kind in (0, 1)
 
 
 def pack_cameras(cameras: dict, realtime: bool, py0=None) -> jnp.ndarray:
@@ -1009,6 +1082,7 @@ def _fused_dispatch(
     py0=None,
     full_height: int = 0,
     cluster_rows: int = 0,
+    env_deferred: bool = False,
 ):
     """Shared host side of the megakernel: packs constants/cameras/seeds and
     launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
@@ -1090,6 +1164,7 @@ def _fused_dispatch(
             realtime=realtime,
             full_height=full_height,
             cluster_rows=cluster_rows,
+            env_deferred=env_deferred,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -1107,15 +1182,18 @@ def _fused_dispatch(
         # Progressive: one 8-row out block revisited across s (accumulator).
         # Realtime: each sample s (= one FRAME of a frames-in-flight batch)
         # owns its own 16-row block, so one launch renders S frames.
+        # Progressive env-deferred (texture env kinds): each sample owns a
+        # 16-row block too — the host resolves env per sample and sums.
         out_specs=pl.BlockSpec(
             (16, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
         )
-        if realtime
+        if (realtime or env_deferred)
         else pl.BlockSpec(
             (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 * s_count if realtime else 8, r_pad), jnp.float32
+            (16 * s_count if (realtime or env_deferred) else 8, r_pad),
+            jnp.float32,
         ),
         scratch_shapes=[
             pltpu.VMEM((8, tile_r), jnp.float32),
@@ -1163,6 +1241,66 @@ def _fused_progressive_sum_impl(
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "env_kind", "interpret", "tile_r", "block_w",
+        "full_height", "cluster_rows",
+    ),
+)
+def _fused_progressive_deferred_impl(
+    scene, options, cameras, width, height, env_kind, interpret,
+    tile_r, block_w, py0=None, full_height=0, cluster_rows=0,
+):
+    """Deferred sample sum for texture env kinds (latlong/cubemap): ONE
+    kernel launch renders all S samples (each sample owns its 16-row out
+    block), then miss-compacted XLA gathers (ops/deferred_resolve) resolve
+    the env terms and combine per sample — the brute-megakernel twin of
+    fused_traverse_pallas._ft_progressive_deferred_impl (same row layout,
+    same combine). Env is sampled only in the miss shader
+    (/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:160-164).
+    Returns the [H, W, 3] SUM over samples."""
+    from ..core.camera import primary_ray_grid
+    from . import deferred_resolve as dr
+
+    out, inv = _fused_dispatch(
+        scene, options, cameras, width, height, env_kind, interpret,
+        tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
+        cluster_rows=cluster_rows, env_deferred=True,
+    )
+    s_count = int(cameras["frame_count"].shape[0])
+    env = scene["env"]
+
+    def rows3(si, r0):
+        return _unperm(out[16 * si + r0 : 16 * si + r0 + 3], inv)  # [n, 3]
+
+    def row1(si, r0):
+        return _unperm(out[16 * si + r0 : 16 * si + r0 + 1], inv)[:, 0]
+
+    # Primary dirs via primary_ray_grid — bit-identical to the kernel's
+    # raygen. Jitter only shifts the ray ORIGIN (pack_cameras), so the
+    # directions — and this env image — are shared by all S samples of one
+    # camera pose; gather it only where at least one sample missed.
+    cam0 = jax.tree.map(lambda x: x[0], cameras)
+    _, d_prim = primary_ray_grid(
+        cam0, width, height, 30.0, row0=py0, full_height=full_height
+    )
+    hits = [row1(si, 3) > 0.5 for si in range(s_count)]
+    any_miss = ~functools.reduce(jnp.logical_and, hits)
+    e_p = dr.masked_env(env, d_prim.reshape(-1, 3), any_miss, env_kind)
+
+    total = None
+    for si in range(s_count):
+        part = (
+            rows3(si, 0)
+            + jnp.where(hits[si][:, None], 0.0, e_p)
+            + dr.weighted_env(env, rows3(si, 4), rows3(si, 7), env_kind)
+            + dr.weighted_env(env, rows3(si, 10), rows3(si, 13), env_kind)
+        )
+        total = part if total is None else total + part
+    return total.reshape(height, width, 3)
+
+
 def fused_progressive_sum(
     scene: dict,
     options: dict,
@@ -1176,10 +1314,19 @@ def fused_progressive_sum(
 ) -> jnp.ndarray:
     """Sum of S progressive samples, one kernel launch. [H, W, 3].
 
+    Texture env kinds (2/3) run ENV-DEFERRED: the kernel emits bounce dirs
+    + per-channel env weights per sample and the host resolves env with
+    miss-compacted XLA gathers outside (gathers don't lower in Mosaic).
+
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
     image (multi-chip row sharding, parallel/render.py)."""
     tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
-    return _fused_progressive_sum_impl(
+    impl = (
+        _fused_progressive_deferred_impl
+        if env_kind in (2, 3)
+        else _fused_progressive_sum_impl
+    )
+    return impl(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r, block_w, py0, full_height, cluster_rows,
     )

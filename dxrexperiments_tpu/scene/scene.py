@@ -286,6 +286,7 @@ class Scene:
             scene_dict["uv2"] = jnp.asarray(uv_pad[:, 2])
 
         want_bvh = accel == "bvh" or (accel == "auto" and num_tris > BVH_THRESHOLD)
+        tex_autoroute = False
         if accel == "auto" and not want_bvh and num_tris > 0:
             # Texture-env (latlong/cubemap) and textured-albedo scenes:
             # the brute megakernel can't resolve texture gathers in-kernel
@@ -308,6 +309,12 @@ class Scene:
             if (rig_ok and deferred_texloads
                     and len(materials) <= MP_MAX_MATERIALS):
                 want_bvh = True
+                # The BVH below exists only for texture ROUTING, not size:
+                # tag it so fused_sample_pallas.supports_fused can keep
+                # brute-eligible tiny scenes on the (2x faster there) brute
+                # megakernel in progressive; realtime still rides the FT
+                # deferred path through this BVH.
+                tex_autoroute = True
         if want_bvh and num_tris > 0:
             from ..accel import bvh as bvh_mod
             from ..ops.traverse_pallas import pack_for_traversal
@@ -319,6 +326,8 @@ class Scene:
                 )
             packed = pack_for_traversal(nodes, scene_dict, BVH_LEAF_SIZE)
             packed.pop("leaf_size")  # fixed BVH_LEAF_SIZE; pytree stays arrays
+            if tex_autoroute:
+                packed["tex_autoroute"] = jnp.asarray(1, jnp.int32)
             scene_dict["bvh"] = packed
 
         return scene_dict

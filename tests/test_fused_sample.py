@@ -129,6 +129,71 @@ def test_fused_multi_sample_sum():
     assert_images_match(got, want, tol=4e-3)
 
 
+def _tex_env_cornell(kind):
+    mesh, materials = cornell_box(glossy_tall_box=True)
+    sc = Scene()
+    for m in materials:
+        sc.add_material(m)
+    sc.add_model(mesh)
+    sc.lights = {
+        "dir": directional_light((0.0, -0.6, -0.8), (0.9, 0.9, 0.9, 0.6)),
+        "point": point_light((0.0, 1.8, 0.0), (1.0, 0.9, 0.7, 6.0)),
+    }
+    rs = np.random.default_rng(3)
+    if kind == "latlong":
+        sc.environment = envmap.latlong_env(
+            rs.uniform(0, 2, (8, 16, 3)).astype(np.float32), strength=1.3
+        )
+    else:
+        sc.environment = envmap.cubemap_env(
+            rs.uniform(0, 2, (6, 8, 8, 3)).astype(np.float32), strength=1.3
+        )
+    return sc.build()
+
+
+@pytest.mark.parametrize("kind", ["latlong", "cubemap"])
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {},
+        pytest.param({"debug": 2}, marks=pytest.mark.slow),
+        pytest.param({"no_indirect_diffuse": True}, marks=pytest.mark.slow),
+        pytest.param(
+            {"show_indirect_diffuse_only": True}, marks=pytest.mark.slow
+        ),
+        pytest.param(
+            {"show_indirect_specular_only": True}, marks=pytest.mark.slow
+        ),
+    ],
+)
+def test_fused_env_deferred_matches_oracle(kind, opts):
+    """Texture env kinds via the brute megakernel's ENV-DEFERRED path
+    (round 4): the kernel emits bounce dirs + per-channel env weights, the
+    host resolves env with the same quad-packed gathers as the wavefront
+    path — sample-for-sample parity with the jnp oracle incl. AOV modes."""
+    scene = _tex_env_cornell(kind)
+    options = default_options(**opts)
+    cam = cam_stack([5], jitters=[(0.002, -0.001)])[0]
+    got = fused_one(scene, options, cam)
+    want = oracle_one(scene, options, cam)
+    assert_images_match(got, want)
+
+
+@pytest.mark.slow
+def test_fused_env_deferred_multi_sample_sum():
+    """S-sample deferred dispatch == sum of per-sample fused renders."""
+    scene = _tex_env_cornell("latlong")
+    options = default_options()
+    cams = cam_stack([3, 9], jitters=[(0.001, 0.002), (-0.002, 0.001)])
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    got = fused_sample_pallas.fused_progressive_sum(
+        scene, options, stacked, W, H, int(scene["env"]["kind"]),
+        interpret=True,
+    )
+    want = sum(np.asarray(fused_one(scene, options, c)) for c in cams)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
 def test_make_progressive_step_uses_fused_and_matches():
     """The step factory's fused path equals its wavefront path."""
     scene = cornell()
@@ -158,8 +223,11 @@ def test_supports_fused_gating():
     assert not fused_sample_pallas.supports_fused(scene, "realtime", True)
     big = dict(scene, mt_pack=jnp.zeros((4, 512, 16)))
     assert not fused_sample_pallas.supports_fused(big, "progressive", False)
+    # Texture env kinds ride the megakernel ENV-DEFERRED in progressive
+    # (round 4); realtime keeps the FT/wavefront route for them.
     lat = dict(scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32)))
-    assert not fused_sample_pallas.supports_fused(lat, "progressive", False)
+    assert fused_sample_pallas.supports_fused(lat, "progressive", False)
+    assert not fused_sample_pallas.supports_fused(lat, "realtime", False)
 
 
 def test_fused_realtime_matches_wavefront():
