@@ -3,7 +3,15 @@ scene: primary closest / direct-light occlusion / bounce closest / bounce
 occlusion, each fenced separately — identifies which traversal dispatch owns
 the frame time (BASELINE config 5 drill-down).
 
-Usage: python benchmarks/frame_phases.py [K=32]
+Round 4 (VERDICT r3 #4): runs BOTH the flattened and the two-level
+TLAS/BLAS builds of the same scene through the same phases, attributing
+the 16% two-level frame gap (727 vs 627 ms at K=32) to specific phases —
+the kernel micro says the instance hierarchy costs only ~4% on coherent
+rays, so the question is whether the extra cost sits in the incoherent
+bounce stages or spreads uniformly. Reference anchor: TLAS refit semantics
+(/root/reference/libs/DXRFramework/Helpers/TopLevelASGenerator.cpp:309+).
+
+Usage: python benchmarks/frame_phases.py [K=32] [flat|two-level|both]
 """
 
 from __future__ import annotations
@@ -25,19 +33,24 @@ def main() -> None:
     from dxrexperiments_tpu.trace import integrator as I
 
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    which = sys.argv[2] if len(sys.argv) > 2 else "both"
     w = h = 512
     sc, cam = build_scene(f"instanced:{k}")
     cam.set_aspect(w, h)
 
     import os
 
-    cache = f"/tmp/instanced_frame_{k}.npy"
-    if os.path.exists(cache):
-        scene = np.load(cache, allow_pickle=True).item()
-    else:
-        scene = sc.build(accel="auto")
-        np.save(cache, jax.tree.map(np.asarray, scene))
-    scene = jax.device_put(scene)
+    def load(tag):
+        cache = f"/tmp/instanced_frame_{k}_{tag}.npy"
+        if os.path.exists(cache):
+            data = np.load(cache, allow_pickle=True).item()
+        else:
+            data = (
+                sc.build_two_level() if tag == "two-level"
+                else sc.build(accel="auto")
+            )
+            np.save(cache, jax.tree.map(np.asarray, data))
+        return jax.device_put(data)
 
     for _ in range(3):
         float(jnp.sum(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048))))
@@ -93,12 +106,6 @@ def main() -> None:
         )
         return occ & hit2
 
-    hit, pos, nrm = primary(scene, o, d)
-    occ = shadows(scene, pos, hit)
-    hit2, pos2 = bounce(scene, pos, nrm, hit)
-    occ2 = bounce_shadow(scene, pos2, hit2)
-    float(jnp.sum(occ2))
-
     def bench(name, fn, *args):
         out = fn(*args)
         jax.tree.map(lambda x: x.block_until_ready(), out)
@@ -111,13 +118,35 @@ def main() -> None:
             first = jax.tree.leaves(out)[0]
             float(jnp.sum(first.astype(jnp.float32)))
             best = min(best, time.perf_counter() - t0)
-        print(f"{name:14s}: {best*1e3:8.1f} ms")
-        return out
+        print(f"  {name:14s}: {best*1e3:8.1f} ms", flush=True)
+        return best, out
 
-    bench("primary", primary, scene, o, d)
-    bench("dir-shadow", shadows, scene, pos, hit)
-    bench("bounce", bounce, scene, pos, nrm, hit)
-    bench("bounce-shadow", bounce_shadow, scene, pos2, hit2)
+    tags = ("flat", "two-level") if which == "both" else (which,)
+    phases = {}
+    for tag in tags:
+        scene = load(tag)
+        print(f"[{tag}]", flush=True)
+        hit, pos, nrm = primary(scene, o, d)
+        hit2, pos2 = bounce(scene, pos, nrm, hit)
+        float(jnp.sum(bounce_shadow(scene, pos2, hit2)))
+        row = {}
+        row["primary"], _ = bench("primary", primary, scene, o, d)
+        row["dir-shadow"], _ = bench("dir-shadow", shadows, scene, pos, hit)
+        row["bounce"], _ = bench("bounce", bounce, scene, pos, nrm, hit)
+        row["bounce-shadow"], _ = bench(
+            "bounce-shadow", bounce_shadow, scene, pos2, hit2
+        )
+        phases[tag] = row
+
+    if len(phases) == 2:
+        print("\n--- two-level minus flat, per phase ---", flush=True)
+        tot_d = 0.0
+        for name in ("primary", "dir-shadow", "bounce", "bounce-shadow"):
+            d_ms = (phases["two-level"][name] - phases["flat"][name]) * 1e3
+            tot_d += d_ms
+            rel = phases["two-level"][name] / phases["flat"][name]
+            print(f"  {name:14s}: {d_ms:+8.1f} ms ({rel:.2f}x)", flush=True)
+        print(f"  {'TOTAL':14s}: {tot_d:+8.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

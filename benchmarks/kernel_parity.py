@@ -197,6 +197,29 @@ def main() -> None:
     )["color"]
     image_compare("fused_sample", got, want)
 
+    # ---- 4a. fused brute megakernel, ENV-DEFERRED (texture env, round 4)
+    sc4a, cam4a = build_scene("cornell-glossy")
+    from dxrexperiments_tpu.scene import envmap as _env4a
+    from dxrexperiments_tpu.utils.dds import load_cubemap as _lc4a
+
+    sc4a.environment = _env4a.cubemap_env(
+        _lc4a("/root/reference/assets/textures/CathedralRadiance.dds")
+    )
+    cam4a.set_aspect(w, h)
+    scene_def = sc4a.build()  # auto: tex_autoroute BVH
+    assert fsp.supports_fused(scene_def, "progressive", False)
+    camp4a = camera_params(cam4a, jitter=(0.002, -0.001), frame_count=9)
+    cams4a = jax.tree.map(lambda x: x[None], camp4a)
+    got = fsp.fused_progressive_sum(
+        scene_def, opts, cams4a, w, h, int(scene_def["env"]["kind"]),
+        interpret=interp,
+    )
+    want = render_sample(
+        scene_def, opts, camp4a, w, h, mode="progressive", impl="jnp",
+        env_kind=int(scene_def["env"]["kind"]),
+    )["color"]
+    image_compare("fused_sample_env_deferred", got, want, frac=0.02)
+
     # ---- 4b. fused realtime frames-in-flight batch (S-axis out blocks) --
     camps_fif = [
         camera_params(cam, jitter=(0.001 * i, -0.002 * i), frame_count=i)

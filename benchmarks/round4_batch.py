@@ -1,0 +1,292 @@
+"""Round-4 hardware A/B batch: miss-compacted deferred gathers (one TPU
+process — back-to-back short TPU processes wedge the tunnel, CLAUDE.md).
+
+Stages (VERDICT r3 #1: "Done = A/B ms in RESULTS.md at 1080p HDR and
+susanne+cubemap"):
+
+  1. susanne + cathedral cubemap, FT deferred megakernel, 512^2 S=16:
+     compaction ON vs OFF (OFF reproduces the round-3 29.2 ms/sample
+     protocol bit-for-bit; ON adds the round-4 miss-compacted gathers).
+  2. config 3: cornell-glossy + 8K HDR studio latlong at 1920x1080:
+     (a) wavefront, compaction OFF  — the round-3 6.33 spp/s protocol
+     (b) wavefront, compaction ON   — ec1d9c6's masked_env gathers
+     (c) brute megakernel ENV-DEFERRED (the new production route for
+         tiny texture-env scenes), compaction ON and OFF.
+  3. cornell + cubemap 512^2 S=16 routing A/B: brute deferred vs FT
+     deferred vs wavefront (tiny scenes measured ~2x faster brute on
+     const envs; confirms the tex_autoroute routing choice).
+
+The compaction knob (DXR_COMPACT) is read at TRACE time, so each arm
+clears the jit caches of the impls it toggles before re-running.
+
+Env is sampled only in the miss shader
+(/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:160-164).
+
+Usage: python benchmarks/round4_batch.py [stages] [--interpret]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, "/root/repo")
+
+SMOKE = "--interpret" in sys.argv
+
+HDR_ENV = "latlong:/root/reference/assets/textures/HdrStudioProductNightStyx001_JPG_8K.jpg"
+CUBE_ENV = "cubemap:/root/reference/assets/textures/CathedralRadiance.dds"
+
+
+def fence(x):
+    import jax
+    import jax.numpy as jnp
+
+    return float(jnp.sum(jax.tree.leaves(x)[0]))
+
+
+def warmup():
+    import jax.numpy as jnp
+
+    t0 = time.perf_counter()
+    for _ in range(3):
+        fence(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048)))
+    print(f"[warmup] {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def best_of(fn, reps=4, rounds=3):
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        fence(out)
+        best = min(best, (time.perf_counter() - t0) / reps)
+    return best
+
+
+def clear_deferred_caches():
+    """DXR_COMPACT is read at trace time; drop every cached trace that
+    baked it in."""
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+
+    for mod, name in (
+        (fsp, "_fused_progressive_deferred_impl"),
+        (ftp, "_ft_progressive_deferred_impl"),
+    ):
+        fn = getattr(mod, name, None)
+        if fn is not None and hasattr(fn, "clear_cache"):
+            fn.clear_cache()
+
+
+def stage1_susanne_cubemap():
+    import jax
+    import jax.numpy as jnp
+
+    from dxrexperiments_tpu.app.headless import build_scene, parse_env
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    width = height = 64 if SMOKE else 512
+    s_count = 2 if SMOKE else 16
+    sc, cam = build_scene("/root/reference/assets/models/susanne.obj")
+    sc.environment = parse_env(CUBE_ENV)
+    cam.set_aspect(width, height)
+    scene = jax.device_put(sc.build(accel="bvh"))
+    env_kind = int(scene["env"]["kind"])
+    options = jax.device_put(default_options())
+    cams = [
+        camera_params(cam, jitter=(0.001 * i, -0.0007 * i), frame_count=i)
+        for i in range(s_count)
+    ]
+    stacked = jax.device_put(jax.tree.map(lambda *x: jnp.stack(x), *cams))
+
+    for tag, compact in (("off", "0"), ("on", "1")):
+        os.environ["DXR_COMPACT"] = compact
+        clear_deferred_caches()
+
+        def run():
+            return ftp.fused_traverse_progressive_sum(
+                scene, options, stacked, width, height, env_kind,
+                interpret=SMOKE,
+            )
+
+        t0 = time.perf_counter()
+        fence(run())
+        print(f"[s1 compile {tag}] {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t = best_of(run) / s_count
+        print(
+            f"[s1 susanne+cubemap FT-deferred compact={tag}] "
+            f"{t*1e3:7.2f} ms/sample ({1.0/t:6.1f} spp/s)",
+            flush=True,
+        )
+    os.environ.pop("DXR_COMPACT", None)
+
+
+def stage2_config3_hdr1080():
+    import jax
+    import jax.numpy as jnp
+
+    from dxrexperiments_tpu.app.headless import build_scene, parse_env
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.models.progressive import make_progressive_step
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    width, height = (96, 64) if SMOKE else (1920, 1080)
+    s_count = 2 if SMOKE else 8
+    sc, cam = build_scene("cornell-glossy")
+    sc.environment = parse_env(HDR_ENV)
+    cam.set_aspect(width, height)
+    options = jax.device_put(default_options())
+    mi = jnp.asarray(1 << 20, jnp.int32)
+
+    def stacked_cams():
+        cams = [
+            camera_params(cam, jitter=(0.0008 * i, -0.0005 * i),
+                          frame_count=i)
+            for i in range(s_count)
+        ]
+        st = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+        st["accum_count"] = jnp.arange(s_count, dtype=jnp.float32)
+        return jax.device_put(st)
+
+    stacked = stacked_cams()
+    accum = jax.device_put(jnp.zeros((height, width, 3), jnp.float32))
+
+    # (a)/(b) wavefront; (c)/(d) the new brute env-deferred route.
+    # accel='none' forces wavefront-eligible scene data (no autorouted BVH);
+    # 'auto' attaches the tex_autoroute BVH -> brute deferred in progressive.
+    arms = (
+        ("wavefront  compact=off", "none", "0"),
+        ("wavefront  compact=on ", "none", "1"),
+        ("brute-def  compact=off", "auto", "0"),
+        ("brute-def  compact=on ", "auto", "1"),
+    )
+    for tag, accel, compact in arms:
+        os.environ["DXR_COMPACT"] = compact
+        clear_deferred_caches()
+        scene = jax.device_put(sc.build(accel=accel))
+        impl = "pallas_interpret" if SMOKE else "pallas"
+        step = make_progressive_step(
+            scene, width, height, samples_per_step=s_count, impl=impl
+        )
+
+        def run():
+            return step(
+                accum, options, stacked, scene["lights"], scene["env"], mi
+            )
+
+        t0 = time.perf_counter()
+        fence(run())
+        print(f"[s2 compile {tag}] {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t = best_of(run, reps=2) / s_count
+        print(
+            f"[s2 hdr-1080p {tag}] {t*1e3:7.2f} ms/sample "
+            f"({1.0/t:5.2f} spp/s)",
+            flush=True,
+        )
+    os.environ.pop("DXR_COMPACT", None)
+
+
+def stage3_cornell_cubemap_routing():
+    import jax
+    import jax.numpy as jnp
+
+    from dxrexperiments_tpu.app.headless import build_scene, parse_env
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.trace.integrator import (
+        default_options, render_sample,
+    )
+
+    width = height = 64 if SMOKE else 512
+    s_count = 2 if SMOKE else 16
+    sc, cam = build_scene("cornell-glossy")
+    sc.environment = parse_env(CUBE_ENV)
+    cam.set_aspect(width, height)
+    options = jax.device_put(default_options())
+    cams = [
+        camera_params(cam, jitter=(0.001 * i, -0.0007 * i), frame_count=i)
+        for i in range(s_count)
+    ]
+    stacked = jax.device_put(jax.tree.map(lambda *x: jnp.stack(x), *cams))
+    os.environ["DXR_COMPACT"] = "1"
+    clear_deferred_caches()
+
+    scene = jax.device_put(sc.build())  # auto: tex_autoroute BVH attached
+    env_kind = int(scene["env"]["kind"])
+    assert fsp.supports_fused(scene, "progressive", False)
+
+    def brute():
+        return fsp.fused_progressive_sum(
+            scene, options, stacked, width, height, env_kind,
+            interpret=SMOKE,
+        )
+
+    def ft():
+        return ftp.fused_traverse_progressive_sum(
+            scene, options, stacked, width, height, env_kind,
+            interpret=SMOKE,
+        )
+
+    def wf():
+        cam0 = jax.tree.map(lambda x: x[0], stacked)
+        return render_sample(
+            scene, options, cam0, width, height, mode="progressive",
+            jitter_scale=30.0,
+            impl="pallas_interpret" if SMOKE else "pallas",
+            env_kind=env_kind,
+        )["color"]
+
+    for tag, fn, per in (
+        ("brute-deferred", brute, s_count),
+        ("FT-deferred   ", ft, s_count),
+        ("wavefront     ", wf, 1),
+    ):
+        t0 = time.perf_counter()
+        fence(fn())
+        print(f"[s3 compile {tag}] {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t = best_of(fn) / per
+        print(
+            f"[s3 cornell+cubemap {tag}] {t*1e3:7.2f} ms/sample "
+            f"({1.0/t:6.1f} spp/s)",
+            flush=True,
+        )
+    os.environ.pop("DXR_COMPACT", None)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    stages = {int(s) for s in args[0].split(",")} if args else {1, 2, 3}
+    if SMOKE:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    t0 = time.perf_counter()
+    warmup()
+    for num, fn in (
+        (1, stage1_susanne_cubemap),
+        (2, stage2_config3_hdr1080),
+        (3, stage3_cornell_cubemap_routing),
+    ):
+        if num not in stages:
+            continue
+        try:
+            fn()
+        except Exception:
+            print(f"[stage {num}] FAILED:", flush=True)
+            traceback.print_exc()
+    print(f"[batch done] {time.perf_counter() - t0:.1f}s total", flush=True)
+
+
+if __name__ == "__main__":
+    main()
