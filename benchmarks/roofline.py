@@ -5,9 +5,11 @@ round-3 analysis lacked (VERDICT r3 #2):
 
   A. EMPIRICAL VPU issue-rate peak, measured with the megakernel's own
      operand shapes ([8 x 1024] f32 vregs):
-       - fma-peak: 8 independent FMA chains (pure issue-rate ceiling)
-       - pair-mix: the 9-sweep pair test's instruction mix per iteration
-         (19 FMA + ~10 compare/min/select mask-merge ops)
+       - fma-peak: 8 independent FMA chains, 16x unrolled per loop
+         iteration (a tight fori body measured 0.22 T — pure loop/carry
+         overhead, not issue rate)
+       - pair-mix: the 9-sweep pair test's instruction mix (19 FMA + ~10
+         compare/min/select mask-merge ops per step)
      The megakernel's measured 1.8 T vec-ops/s is then a FRACTION OF
      ACHIEVABLE PEAK, not of a paper number.
 
@@ -17,6 +19,8 @@ round-3 analysis lacked (VERDICT r3 #2):
      loop in one kernel. If t(both) ~= max(t_mxu, t_vpu) the units overlap
      and occlusion-on-MXU is additive throughput; if ~= sum they serialize
      and the idea is dead (recorded either way in RESULTS.md).
+     NB Mosaic cannot broadcast [1,1] into both sublanes and lanes — the
+     loop-dependency injection uses a [1, LANES] row (sublane-only).
 
 Reference anchor: the fallback layer's "same performance as native" claim
 (/root/reference/README.md:23-29) is the capability being out-engineered.
@@ -36,7 +40,8 @@ SMOKE = "--interpret" in sys.argv
 
 LANES = 1024
 SUB = 8
-CHAINS = 8  # independent FMA accumulator chains (hide 2-4 cycle latency)
+CHAINS = 8   # independent FMA accumulator chains (hide 2-4 cycle latency)
+UNROLL = 16  # steps per fori iteration (amortize loop/carry overhead)
 C_TRIS = 256  # matmul rows = 4*C = 1024 (the 256-tri cornell-pad shape)
 
 
@@ -56,7 +61,7 @@ def main() -> None:
         fence(jnp.ones((2048, 2048)) @ jnp.ones((2048, 2048)))
     print("[warm]", flush=True)
 
-    iters = 4 if SMOKE else 2048
+    iters = 2 if SMOKE else 512
     grid = 2 if SMOKE else 64
 
     # ---- A1: pure-FMA issue peak ---------------------------------------- #
@@ -65,7 +70,9 @@ def main() -> None:
         b = b_ref[:, :]
 
         def body(_, accs):
-            return tuple(acc * a + b for acc in accs)
+            for _u in range(UNROLL):
+                accs = tuple(acc * a + b for acc in accs)
+            return accs
 
         accs = jax.lax.fori_loop(
             0, iters, body, tuple(a + float(k) for k in range(CHAINS))
@@ -73,16 +80,17 @@ def main() -> None:
         o_ref[:, :] = functools.reduce(lambda x, y: x + y, accs)
 
     # ---- A2: the pair-test mix ------------------------------------------ #
-    # Per iteration, per lane: the _pair_terms sweep mix — 19 FMAs (3 cross
-    # + 16 term-group dots) + the mask tail (sign flips, 2 min folds, 2
+    # Per step, per lane: the _pair_terms sweep mix — 19 FMAs (3 cross +
+    # 16 term-group dots) + the mask tail (sign flips, 2 min folds, 2
     # compares, and-merge, best-t select) ~ 10 cmp/min/sel ops.
+    MIX_UNROLL = 4
+
     def mix_kernel(a_ref, b_ref, o_ref):
         a = a_ref[:, :]
         b = b_ref[:, :]
 
-        def body(_, carry):
+        def step(carry):
             det, u, v, t, best = carry
-            # 3 cross-product FMAs + 16 term FMAs = 19 FMA issues
             m0 = u * a + b
             m1 = v * a - b
             m2 = t * a + b
@@ -102,7 +110,6 @@ def main() -> None:
             t = t * a + m2
             t = t * a + b
             det = det * a + b
-            # mask tail: sign, window fold, strict fold, merge, best select
             s = jnp.sign(det)
             da = det * s
             us = u * s
@@ -113,6 +120,11 @@ def main() -> None:
             best = jnp.where(ok & (t < best), t, best)
             return det, u, v, t, best
 
+        def body(_, carry):
+            for _u in range(MIX_UNROLL):
+                carry = step(carry)
+            return carry
+
         det, u, v, t, best = jax.lax.fori_loop(
             0, iters, body, (a, a + 1.0, a + 2.0, a + 3.0, b + 30.0)
         )
@@ -120,7 +132,8 @@ def main() -> None:
 
     # ---- B: MXU/VPU overlap --------------------------------------------- #
     # mt block [4C, 16] (HIGHEST f32 term-group shape), rays [16, LANES].
-    m_iters = 4 if SMOKE else 256
+    m_iters = 2 if SMOKE else 128
+    V_UNROLL = 8
 
     def make_ov_kernel(do_vpu: bool, do_mxu: bool, vpu_scale: int):
         # Loop runs m_iters * vpu_scale iterations; the VPU FMA block fires
@@ -131,9 +144,11 @@ def main() -> None:
             b = b_ref[:, :]
 
             def do_dot(tacc):
+                # loop-dependency injection via a [1, LANES] row (Mosaic
+                # can't broadcast [1,1] across sublanes AND lanes)
                 terms = jax.lax.dot_general(
                     mt_ref[:, :],
-                    rays_ref[:, :] + tacc[0:1, 0:1],
+                    rays_ref[:, :] * (1.0 + tacc[0:1, :] * 1e-30),
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
@@ -143,7 +158,8 @@ def main() -> None:
             def body(i, carry):
                 accs, tacc = carry
                 if do_vpu:
-                    accs = tuple(acc * a + b for acc in accs)
+                    for _u in range(V_UNROLL):
+                        accs = tuple(acc * a + b for acc in accs)
                 if do_mxu:
                     if vpu_scale > 1:
                         tacc = jax.lax.cond(
@@ -214,23 +230,23 @@ def main() -> None:
     els = SUB * LANES * grid
 
     t = run(fma_kernel)
-    fma_rate = els * iters * CHAINS / t
+    fma_rate = els * iters * UNROLL * CHAINS / t
     print(
         f"[A1 fma-peak ] {t*1e3:8.2f} ms  {fma_rate/1e12:6.2f} T FMA/s",
         flush=True,
     )
 
     t = run(mix_kernel)
-    # 19 FMA + 10 mask ops per iteration per lane
-    mix_rate = els * iters * 29 / t
-    mix_fma = els * iters * 19 / t
+    # 19 FMA + 10 mask ops per step per lane
+    mix_rate = els * iters * MIX_UNROLL * 29 / t
+    mix_fma = els * iters * MIX_UNROLL * 19 / t
     print(
         f"[A2 pair-mix ] {t*1e3:8.2f} ms  {mix_rate/1e12:6.2f} T ops/s "
         f"({mix_fma/1e12:5.2f} T FMA/s + masks)",
         flush=True,
     )
 
-    # B: calibrate VPU iters so t_vpu alone ~= t_mxu alone, then overlap.
+    # B: scale VPU work against a fixed MXU matmul stream, check additivity.
     t_m = run(make_ov_kernel(False, True, 1), n_out=2)
     # one HIGHEST [4C,16]x[16,R] per iteration
     mm_flops = 4 * C_TRIS * 16 * LANES * 2 * grid * m_iters
@@ -246,7 +262,7 @@ def main() -> None:
         hi = t_v + t_m
         frac = (hi - t_b) / max(hi - lo, 1e-12)
         print(
-            f"[B  v_iters x{scale}] vpu {t_v*1e3:7.2f}  both {t_b*1e3:7.2f} "
+            f"[B  vpu x{scale}] vpu {t_v*1e3:7.2f}  both {t_b*1e3:7.2f} "
             f"ms  (max {lo*1e3:7.2f} / sum {hi*1e3:7.2f})  "
             f"overlap {frac*100:5.1f}%",
             flush=True,

@@ -36,10 +36,18 @@ import jax.numpy as jnp
 
 
 def _knobs() -> tuple[bool, tuple[float, ...], str]:
-    """DXR_COMPACT=0 disables; DXR_COMPACT_CAPS="0.125,0.5" sets the
+    """DXR_COMPACT=1 enables; DXR_COMPACT_CAPS="0.125,0.5" sets the
     capacity tiers (fractions of N, ascending); DXR_COMPACT_METHOD
-    in {nonzero, sort}. Read at trace time (outside jit) like _ft_knobs."""
-    on = os.environ.get("DXR_COMPACT", "1") != "0"
+    in {nonzero, sort}. Read at trace time (outside jit) like _ft_knobs.
+
+    DEFAULT OFF: measured NEGATIVE on v5e at every scored config
+    (benchmarks/round4_batch.py — susanne+cubemap FT-deferred 31.4 -> 42.1
+    ms/sample, cornell+HDR-latlong 1080p brute-deferred 116 -> 145): the
+    nonzero index build (cumsum over N) + the .at[idx].add scatter-back
+    cost more than the skipped gather rows save at ~25 ns/row. The
+    machinery stays (correct, tested, knob-selectable) for hardware where
+    scatter is cheaper than gather."""
+    on = os.environ.get("DXR_COMPACT", "0") == "1"
     caps = tuple(
         float(x)
         for x in os.environ.get("DXR_COMPACT_CAPS", "0.125,0.5").split(",")

@@ -40,6 +40,7 @@ come from a one-hot MXU matmul.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -787,8 +788,16 @@ def _fused_kernel(
         # Realtime epilogue (trace_rays mode="realtime" parity): two AOVs +
         # gbuffer rows, miss routes env into the direct AOV
         # (RealtimeRaytracing.hlsl:119-126). Rows: 0-2 direct, 3-5 indirect
-        # specular, 6-8 albedo, 9 roughness.
-        out_ref[:, :] = jnp.zeros_like(out_ref)
+        # specular, 6-8 albedo, 9 roughness. Rows 10-15 stay unwritten —
+        # the composite color (direct + indirect specular, exactly the
+        # kernel's old rows 10-12) is summed on the host, and nothing
+        # reads past row 9, so the old 16-row zero-init + combined-row
+        # writes were pure epilogue overhead (rt_anatomy's 1.23x per-sweep
+        # realtime tree factor). DXR_RT_WIDE=1 (trace-time knob, A/B
+        # benchmark only) restores the old wide epilogue.
+        wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
+        if wide:
+            out_ref[:, :] = jnp.zeros_like(out_ref)
         for k in range(3):
             specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
             f0 = at[A_SPECULAR + k]
@@ -799,9 +808,10 @@ def _fused_kernel(
             out_ref[k, :] = _sanitize(jnp.where(hit, da, env_primary[k]))
             out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
             out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
-            out_ref[10 + k, :] = _sanitize(
-                jnp.where(hit, da + sa, env_primary[k])
-            )
+            if wide:
+                out_ref[10 + k, :] = _sanitize(
+                    jnp.where(hit, da + sa, env_primary[k])
+                )
         out_ref[9, :] = jnp.where(hit, at[A_ROUGH], 0.0)
         return
 
@@ -1364,12 +1374,18 @@ def _fused_realtime_outputs_impl(
         return unperm_s(r0, 3).reshape(s, height, width, 3)
 
     rough = unperm_s(9, 1).reshape(s, height, width)
+    direct = img3(0)
+    ispec = img3(3)
+    wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
     return {
-        "direct": img3(0),
-        "indirect_specular": img3(3),
+        "direct": direct,
+        "indirect_specular": ispec,
         "albedo": img3(6),
         "roughness": rough,
-        "color": img3(10),
+        # bit-identical to the kernel's old combined rows: both AOVs hold
+        # the already-rounded f32 da / sa terms, and on miss ispec is 0 so
+        # direct + ispec = env there too (RealtimeRaytracing.hlsl:119-126)
+        "color": img3(10) if wide else direct + ispec,
     }
 
 

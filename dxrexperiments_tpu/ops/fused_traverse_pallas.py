@@ -46,6 +46,7 @@ Scope (supports_fused_traverse; wavefront path otherwise):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -991,8 +992,16 @@ def _make_ft_kernel(
             # itself), 10 the hit mask, 11-13 the specular bounce dir and
             # 14-16 its per-channel env weight — the host resolves env with
             # XLA gathers and assembles direct/indirect_specular/color
-            # (_ft_realtime_outputs_impl).
-            out_ref[:, :] = jnp.zeros_like(out_ref)
+            # (_ft_realtime_outputs_impl). Every row the host reads is
+            # written below, so no zero-init; the composite color row is
+            # summed on the host (realtime epilogue shave, round 4).
+            # DXR_RT_WIDE=1 (trace-time, A/B benchmark only) restores the
+            # old wide epilogue on the non-deferred path.
+            wide = (not env_deferred) and (
+                os.environ.get("DXR_RT_WIDE", "0") == "1"
+            )
+            if wide:
+                out_ref[:, :] = jnp.zeros_like(out_ref)
             if env_deferred:
                 smask = sec_ref[7, :]
             for k in range(3):
@@ -1015,9 +1024,10 @@ def _make_ft_kernel(
                     )
                     out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
                     out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
-                    out_ref[10 + k, :] = _sanitize(
-                        jnp.where(hit, da + sa, env_primary[k])
-                    )
+                    if wide:
+                        out_ref[10 + k, :] = _sanitize(
+                            jnp.where(hit, da + sa, env_primary[k])
+                        )
             out_ref[9, :] = jnp.where(hit, mat[MP_ROUGH], 0.0)
             if env_deferred:
                 out_ref[10, :] = hit.astype(jnp.float32)
@@ -1646,12 +1656,18 @@ def _ft_realtime_outputs_impl(
 
     rough = _unperm(out[9:10], inv).reshape(height, width)
     if not deferred:
+        direct = img3(0)
+        ispec = img3(3)
+        wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
         return {
-            "direct": img3(0),
-            "indirect_specular": img3(3),
+            "direct": direct,
+            "indirect_specular": ispec,
             "albedo": img3(6),
             "roughness": rough,
-            "color": img3(10),
+            # bit-identical to the kernel's old combined rows: both AOVs
+            # hold the rounded f32 da / sa terms; on miss ispec is 0 so
+            # direct + ispec = env there too
+            "color": img3(10) if wide else direct + ispec,
         }
 
     # env-deferred combine (RealtimeRaytracing.hlsl miss->direct routing):
