@@ -111,6 +111,82 @@ class TerminalDisplay:
         self.out.flush()
 
 
+class KittyDisplay:
+    """Pixel-accurate presenter via the kitty graphics protocol.
+
+    Where TerminalDisplay quantizes to character-cell half-blocks, this
+    transmits the actual framebuffer (raw RGB, base64, chunked escape
+    sequences) so terminals speaking the kitty protocol (kitty, ghostty,
+    wezterm, konsole) present every rendered pixel — the terminal analogue
+    of the reference's windowed swapchain present
+    (/root/reference/src/utils/Win32Application.cpp:49-62 +
+    DXRExperimentsApp.cpp:273-285 BlitToBackbuffer). Auto-selected when the
+    terminal advertises the protocol; ``--display`` overrides.
+    """
+
+    CHUNK = 4096  # max base64 payload bytes per escape chunk (protocol cap)
+
+    def __init__(self, out=sys.stdout, max_dim: int = 640):
+        self.out = out
+        self.max_dim = max_dim
+
+    @staticmethod
+    def supported() -> bool:
+        return bool(
+            os.environ.get("KITTY_WINDOW_ID")
+            or "kitty" in os.environ.get("TERM", "")
+            or "ghostty" in os.environ.get("TERM", "")
+        )
+
+    def size(self) -> tuple[int, int]:
+        """Render size in PIXELS (the cell-pixel area reported by the tty)."""
+        try:
+            import fcntl
+            import struct as _struct
+            import termios
+
+            ws = fcntl.ioctl(
+                self.out.fileno(), termios.TIOCGWINSZ, b"\x00" * 8
+            )
+            rows, cols, xpix, ypix = _struct.unpack("HHHH", ws)
+        except (OSError, ValueError, ImportError):
+            rows = cols = xpix = ypix = 0
+        if xpix <= 0 or ypix <= 0:
+            # Terminal didn't report pixel size: assume 8x16-px cells.
+            cols = cols or 80
+            rows = rows or 24
+            xpix, ypix = cols * 8, rows * 16
+        # Leave 2 text rows for the HUD below the image.
+        ypix = max(ypix - 2 * max(ypix // max(rows, 1), 16), 32)
+        w = min(xpix, self.max_dim)
+        h = min(ypix, self.max_dim)
+        return max(w, 16), max(h - h % 2, 16)
+
+    def present(self, img: np.ndarray, hud: str) -> None:
+        """img: [H, W, 3] float 0..1 — transmitted losslessly (8-bit)."""
+        import base64
+
+        q = np.ascontiguousarray(
+            np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        )
+        h, w = q.shape[:2]
+        payload = base64.standard_b64encode(q.tobytes())
+        parts = []
+        # i=1: a stable image id so each frame REPLACES the previous one
+        # (no per-frame image accumulation in the terminal).
+        ctrl = f"a=T,f=24,s={w},v={h},i=1,q=2"
+        first = True
+        for off in range(0, len(payload), self.CHUNK):
+            chunk = payload[off : off + self.CHUNK].decode("ascii")
+            more = 1 if off + self.CHUNK < len(payload) else 0
+            head = f"{ctrl},m={more}" if first else f"m={more}"
+            parts.append(f"\x1b_G{head};{chunk}\x1b\\")
+            first = False
+        frame = "\x1b[H" + "".join(parts) + "\n" + hud + "\x1b[K"
+        self.out.write(frame)
+        self.out.flush()
+
+
 class RawKeyboard:
     """Non-blocking raw-mode keyboard + mouse polling (GameInput analogue).
 
@@ -544,6 +620,16 @@ def main(argv=None) -> int:
         "--animate-instances", action="store_true",
         help="spin instance transforms each frame via TLAS refit",
     )
+    ap.add_argument(
+        "--display", default="auto", choices=["auto", "ansi", "kitty"],
+        help="presenter: ANSI half-blocks or pixel-accurate kitty graphics "
+             "(auto picks kitty when the terminal advertises it)",
+    )
+    ap.add_argument(
+        "--gamepad", nargs="?", const="", default=None, metavar="PATH",
+        help="enable analog gamepad input (/dev/input/js*; optional "
+             "explicit device path)",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -551,9 +637,23 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", args.platform)
 
-    display = TerminalDisplay()
+    use_kitty = args.display == "kitty" or (
+        args.display == "auto" and KittyDisplay.supported()
+    )
+    display = KittyDisplay() if use_kitty else TerminalDisplay()
+
+    pad = None
+    if args.gamepad is not None:
+        from ..core.gamepad import Gamepad
+
+        pad = Gamepad.open(args.gamepad or None)
+        if pad is None:
+            print("viewer: no gamepad device found", file=sys.stderr)
+
     if args.size:
         width, height = (int(x) for x in args.size.lower().split("x"))
+    elif use_kitty:
+        width, height = display.size()
     else:
         width, height = display.size()
         width, height = min(width, 200), min(height - height % 2, 140)
@@ -575,12 +675,15 @@ def main(argv=None) -> int:
                     # live resize: re-create outputs when the terminal changes
                     # (WM_SIZE parity, DXRExperimentsApp.cpp:257-271)
                     w, h = display.size()
-                    w, h = min(w, 200), min(h - h % 2, 140)
+                    if not use_kitty:
+                        w, h = min(w, 200), min(h - h % 2, 140)
                     app.resize(w, h)
                 else:
                     app.resize(*app.windowed_size)
                 keys = kb.poll() if scripted is None else ([scripted.pop(0)] if scripted else ["x"])
                 inp, quit_requested = app.handle_keys(keys)
+                if pad is not None:
+                    pad.apply(inp)
                 if quit_requested:
                     break
                 img = app.step(inp)
@@ -589,6 +692,8 @@ def main(argv=None) -> int:
                 if args.max_frames and frames >= args.max_frames:
                     break
     finally:
+        if pad is not None:
+            pad.close()
         if use_alt_screen:
             sys.stdout.write("\x1b[?1049l")  # restore the main screen
     sys.stdout.write("\n")

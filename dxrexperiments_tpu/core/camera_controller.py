@@ -32,6 +32,14 @@ class InputState:
     mouse_dy: float = 0.0
     analog_yaw: float = 0.0
     analog_pitch: float = 0.0
+    # Analog movement axes in [-1, 1] (gamepad sticks/triggers). They ADD to
+    # the digital booleans, mirroring GameInput's analog axes feeding the
+    # same controller paths as key edges
+    # (/root/reference/libs/MiniEngine/GameInput.cpp:303-330,
+    # CameraController.cpp:50-66: forward/strafe = analog stick + key deltas).
+    analog_forward: float = 0.0
+    analog_strafe: float = 0.0
+    analog_ascent: float = 0.0
     fine_movement: bool = False
     fine_rotation: bool = False
 
@@ -92,12 +100,16 @@ class CameraController:
         pitch = inp.analog_pitch * self.vertical_look_sensitivity * pan_scale
         forward = self.move_speed * speed_scale * dt * (
             (1.0 if inp.forward else 0.0) - (1.0 if inp.backward else 0.0)
+            + inp.analog_forward
         )
         strafe = self.strafe_speed * speed_scale * dt * (
-            (1.0 if inp.strafe_right else 0.0) - (1.0 if inp.strafe_left else 0.0)
+            (1.0 if inp.strafe_right else 0.0)
+            - (1.0 if inp.strafe_left else 0.0)
+            + inp.analog_strafe
         )
         ascent = self.strafe_speed * speed_scale * dt * (
             (1.0 if inp.ascend else 0.0) - (1.0 if inp.descend else 0.0)
+            + inp.analog_ascent
         )
 
         if self.momentum:
