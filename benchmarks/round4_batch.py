@@ -373,6 +373,64 @@ def stage4_realtime_shave():
     print("[s4 parity] wide == narrow bit-exact", flush=True)
 
 
+def stage5_mxu_split():
+    """DXR_MXU_SPLIT sweep on the config-1 protocol (cornell 512^2
+    progressive, S=16): route the last K triangle rows of every eligible
+    sweep through the MXU dot form while the VPU runs the leading rows.
+    If roofline.py's overlap probe is right that the units co-issue, the
+    balance point is K ~ c*19/(19+10+19*mxu_slowdown); sweep K to find it
+    empirically. K=0 is the shipped flat baseline, same process."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _cornell_setup
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+
+    width = height = 64 if SMOKE else 512
+    s_count = 2 if SMOKE else 16
+    scene, options, cams, _ = _cornell_setup(width, height, 1)
+    scene = jax.device_put(scene)
+    options = jax.device_put(options)
+    env_kind = int(scene["env"]["kind"])
+    rng = np.random.default_rng(0)
+    stack = []
+    for i in range(s_count):
+        c = dict(cams[0])
+        c["jitter"] = jnp.asarray(
+            [(rng.random() - 0.5) / width, (rng.random() - 0.5) / height],
+            jnp.float32,
+        )
+        c["frame_count"] = jnp.asarray(i, jnp.uint32)
+        stack.append(c)
+    stacked = jax.device_put(jax.tree.map(lambda *x: jnp.stack(x), *stack))
+
+    n_rays = width * height * s_count
+    for k in ("0", "64", "96", "128", "160", "192"):
+        os.environ["DXR_MXU_SPLIT"] = k
+        fsp._fused_progressive_sum_impl.clear_cache()
+
+        def run():
+            return fsp.fused_progressive_sum(
+                scene, options, stacked, width, height, env_kind,
+                interpret=SMOKE,
+            )
+
+        t0 = time.perf_counter()
+        fence(run())
+        dt = time.perf_counter() - t0
+        t = best_of(run)
+        print(
+            f"[s5 mxu-split k={k:>3}] {t*1e3:7.2f} ms/dispatch "
+            f"({n_rays/t/1e6:6.1f} Mrays/s)  compile {dt:.1f}s",
+            flush=True,
+        )
+    os.environ.pop("DXR_MXU_SPLIT", None)
+    fsp._fused_progressive_sum_impl.clear_cache()
+
+
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     stages = {int(s) for s in args[0].split(",")} if args else {1, 2, 3}
@@ -387,6 +445,7 @@ def main():
         (2, stage2_config3_hdr1080),
         (3, stage3_cornell_cubemap_routing),
         (4, stage4_realtime_shave),
+        (5, stage5_mxu_split),
     ):
         if num not in stages:
             continue

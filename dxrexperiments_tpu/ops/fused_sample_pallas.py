@@ -177,7 +177,8 @@ def _t_rows(mt_ref, o, o_scalar: bool = False):
 
 def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
                 r0: int = 0, rn: int | None = None, t_d=None,
-                d_scalar: bool = False, o_scalar: bool = False):
+                d_scalar: bool = False, o_scalar: bool = False,
+                use_mxu: bool = False):
     """Möller–Trumbore validity/t for (tri, ray) pairs.
 
     o, d: 3-tuples of [TILE_R]; tmin/tmax [TILE_R] or scalar. r0/rn select
@@ -211,27 +212,35 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
     c = mt_ref.shape[0] // 4
     if rn is None:
         rn = c
-    if (USE_MXU_TERMS and (r0, rn) == (0, c) and t_d is None
-            and not d_scalar and not o_scalar):
+    if (use_mxu or USE_MXU_TERMS) and not d_scalar:
+        # MXU form over the [r0, r0+rn) row window: the 19 term FMAs become
+        # per-group [rn,16]@[16,R] dots at HIGHEST f32 (full precision; the
+        # mask tail below stays VPU). Used by the DXR_MXU_SPLIT hybrid —
+        # a tail of each sweep's rows rides the otherwise-idle MXU while
+        # the VPU computes the leading rows (roofline.py measures whether
+        # the units overlap; benchmarks record the A/B either way).
+        ones = jnp.full_like(db[0], 1.0)
+        ob_rows = (
+            [ones * ob[k] for k in range(3)] if o_scalar else ob
+        )
         lhs = jnp.concatenate(
-            db
-            + m
-            + ob
-            + [jnp.full_like(db[0], 1.0)]
-            + [jnp.zeros_like(db[0])] * 6,
+            db + m + ob_rows + [ones] + [jnp.zeros_like(ones)] * 6,
             axis=0,
         )  # [16, R] rows: D, M, O, 1, pad
-        terms = jax.lax.dot_general(
-            mt_ref[:, :],
-            lhs,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        det = terms[0:c]
-        u_d = terms[c : 2 * c]
-        v_d = terms[2 * c : 3 * c]
-        t_d = terms[3 * c : 4 * c]
+
+        def grp(g):
+            return jax.lax.dot_general(
+                mt_ref[g * c + r0 : g * c + r0 + rn, :],
+                lhs,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        det = grp(0)
+        u_d = grp(1)
+        v_d = grp(2)
+        t_d = t_d[r0 : r0 + rn] if t_d is not None else grp(3)
     else:
         def col(g, k):
             return mt_ref[g * c + r0 : g * c + r0 + rn, k][:, None]
@@ -303,15 +312,39 @@ def _pair_terms(mt_ref, o, d, tmin, tmax, cull: bool, need_t: bool,
 CHUNK_T = 256  # triangles per in-kernel chunk ([CHUNK_T, TILE_R] fits VMEM)
 
 
+def _mxu_split_rows() -> int:
+    """DXR_MXU_SPLIT=<rows>: route the LAST <rows> triangle rows of every
+    eligible sweep (not d_scalar — the per-triangle-column form is far
+    cheaper on the VPU) through the MXU dot form of _pair_terms, so the
+    matrix unit adds throughput in parallel with the VPU's leading rows.
+    Trace-time knob (clear jit caches to retoggle); default 0 (off) until
+    the hardware A/B says otherwise. Rounded down to a multiple of 8."""
+    return int(os.environ.get("DXR_MXU_SPLIT", "0")) & ~7
+
+
+def _sweep_spans(c: int, d_scalar: bool) -> list:
+    """(r0, rn, use_mxu) chunk spans for one sweep: VPU chunks first, then
+    the MXU tail span. Ascending row order keeps the lowest-row tie-break
+    exact in _closest_hit (the MXU span owns the HIGHEST rows and merges
+    last with a strict '<')."""
+    k = 0 if d_scalar else min(_mxu_split_rows(), c - 8 if c > 8 else 0)
+    cv = c - k
+    spans = [
+        (r0, min(CHUNK_T, cv - r0), False) for r0 in range(0, cv, CHUNK_T)
+    ]
+    if k:
+        spans.append((cv, k, True))
+    return spans
+
+
 def _any_hit(mt_ref, o, d, tmin, tmax, t_d=None, d_scalar: bool = False):
     """Occlusion sweep: True rows where any triangle blocks. [TILE_R]."""
     c = mt_ref.shape[0] // 4
     occ = None
-    for r0 in range(0, c, CHUNK_T):
-        rn = min(CHUNK_T, c - r0)
+    for r0, rn, mx in _sweep_spans(c, d_scalar):
         valid, _, _, _, _ = _pair_terms(
             mt_ref, o, d, tmin, tmax, False, False, r0=r0, rn=rn,
-            t_d=t_d, d_scalar=d_scalar,
+            t_d=t_d, d_scalar=d_scalar, use_mxu=mx,
         )
         part = jnp.max(valid.astype(jnp.float32), axis=0)
         occ = part if occ is None else jnp.maximum(occ, part)
@@ -391,12 +424,11 @@ def _closest_hit(mt_ref, attr_ref, o, d, tmin, tmax, cull: bool,
     """
     c = mt_ref.shape[0] // 4
     best_t = None
-    for r0 in range(0, c, CHUNK_T):
-        rn = min(CHUNK_T, c - r0)
+    for r0, rn, mx in _sweep_spans(c, False):
         _, t_pair, us, vs, det_abs = _pair_terms(
             mt_ref, o_terms if o_terms is not None else o, d,
             tmin, tmax, cull, True, r0=r0, rn=rn,
-            t_d=t_d, o_scalar=o_terms is not None,
+            t_d=t_d, o_scalar=o_terms is not None, use_mxu=mx,
         )
         k_t = jnp.min(t_pair, axis=0)
         rows = jax.lax.broadcasted_iota(jnp.int32, t_pair.shape, 0)

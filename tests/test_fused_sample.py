@@ -358,3 +358,32 @@ def test_fused_clustered_matches_flat(monkeypatch):
     monkeypatch.setenv("FUSED_CLUSTERS", "16")
     clustered = np.asarray(fused_one(scene, options, cam))
     np.testing.assert_array_equal(clustered, flat)
+
+
+def test_mxu_split_matches_flat(monkeypatch):
+    """DXR_MXU_SPLIT routes a tail of each sweep's triangle rows through
+    the MXU dot form of _pair_terms. The dot reassociates the 19-FMA term
+    chain, so agreement is to fp32 reassociation tolerance, and the
+    lowest-row tie-break must stay exact (ascending span merge order).
+    The knob is read at trace time: caches are cleared around each toggle
+    so no split-baked trace leaks into other tests."""
+    impl = fused_sample_pallas._fused_progressive_sum_impl
+    scene = cornell()
+    options = default_options()
+    cam = cam_stack([7], jitters=[(0.001, -0.002)])[0]
+    try:
+        impl.clear_cache()
+        flat = np.asarray(fused_one(scene, options, cam))
+        for rows in ("64", "128"):
+            monkeypatch.setenv("DXR_MXU_SPLIT", rows)
+            impl.clear_cache()
+            split = np.asarray(fused_one(scene, options, cam))
+            err = np.abs(split - flat)
+            assert np.median(err) <= 1e-6, np.median(err)
+            assert err.max() <= 5e-3, err.max()  # bounce-dir chaos tail
+            # images must agree structurally, not just numerically
+            corr = np.corrcoef(split.ravel(), flat.ravel())[0, 1]
+            assert corr > 0.99999, corr
+    finally:
+        monkeypatch.delenv("DXR_MXU_SPLIT", raising=False)
+        impl.clear_cache()
