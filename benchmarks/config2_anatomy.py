@@ -118,7 +118,9 @@ def main() -> None:
             )
             scene = jax.device_put(scene)
 
-            compacts = ("1", "0") if tag == "full" else ("1",)
+            # "0" (compaction off) is the SHIPPED default since round 4's
+            # negative A/B; full also runs "1" for the compaction slice.
+            compacts = ("0", "1") if tag == "full" else ("0",)
             for compact in compacts:
                 os.environ["DXR_COMPACT"] = compact
                 if hasattr(ftp._ft_progressive_deferred_impl, "clear_cache"):

@@ -1128,8 +1128,10 @@ def _make_ft_kernel(
             out_ref[31, :] = sec_ref[17, :]
             out_ref[32, :] = sec_ref[18, :]
             out_ref[33, :] = sec_ref[19, :]
-            for r in range(34, TEX_ROWS):
-                out_ref[r, :] = jnp.zeros((tile_r,), jnp.float32)
+            # Rows 34-39 (block padding to the 8-sublane multiple) stay
+            # unwritten — the host reads rows 0-33 only, so zero-filling
+            # them was pure epilogue overhead (same shave as the realtime
+            # epilogue, round 4).
             return
 
         wd = []

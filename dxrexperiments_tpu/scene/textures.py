@@ -69,10 +69,27 @@ def pack_texture_table(materials: list) -> dict | None:
     }
 
 
+def _meta_select(meta: jnp.ndarray, mid: jnp.ndarray) -> jnp.ndarray:
+    """Per-row (base, w, h) for [N] material ids WITHOUT a gather.
+
+    XLA charges ~25 ns per gathered ROW regardless of table size, so
+    `meta[mid]` costs as much as the full texel gather itself (measured:
+    the albedo slice was 47.6% of the config-2 frame, ~2x the texel
+    gathers alone). For the handful of materials a scene has, a static
+    compare-select chain is pure VPU work and ~free."""
+    m = int(meta.shape[0])
+    if m > 32:
+        return meta[mid]
+    out = jnp.zeros(mid.shape + (3,), meta.dtype)
+    for i in range(m):
+        out = jnp.where((mid == i)[..., None], meta[i], out)
+    return out
+
+
 def sample_albedo(textures: dict, mid: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
     """Bilinear albedo multiplier for hits: [N] material ids + [N, 2] UVs
     -> [N, 3] (1.0 for untextured materials). One wide gather per hit."""
-    meta = textures["meta"][mid]  # [N, 3]
+    meta = _meta_select(textures["meta"], mid)  # [N, 3]
     base, w, h = meta[..., 0], meta[..., 1], meta[..., 2]
     has = w > 0
     ws = jnp.maximum(w, 1).astype(jnp.float32)
