@@ -164,12 +164,15 @@ def main() -> None:
             traceback.print_exc()
     os.environ.pop("DXR_COMPACT", None)
 
-    if "full" in results and "bare" in results:
-        full = results["full"]
-        print("\n--- attribution (deltas vs full) ---", flush=True)
+    # shipped arms are the compact=off ones (round-4 default)
+    if "full compact=off" in results:
+        full = results["full compact=off"]
+        print("\n--- attribution (deltas vs full, compact=off) ---",
+              flush=True)
         for tag in ("pt-light", "no-tex", "grad-env", "bare"):
-            if tag in results:
-                d = (full - results[tag]) * 1e3
+            key = tag + " compact=off"
+            if key in results:
+                d = (full - results[key]) * 1e3
                 print(f"  {tag:9s} removes {d:7.2f} ms/sample "
                       f"({d/(full*1e3)*100:5.1f}% of full)", flush=True)
     print(f"[anatomy done] {time.perf_counter() - t_all:.1f}s", flush=True)
