@@ -618,7 +618,6 @@ def _fused_kernel(
     cluster_rows: int = 0,
     env_deferred: bool = False,
 ):
-    assert not (realtime and env_deferred)
     i = pl.program_id(0)
     s = pl.program_id(1)
     c_tris = mt_ref.shape[0] // 4
@@ -827,9 +826,20 @@ def _fused_kernel(
         # writes were pure epilogue overhead (rt_anatomy's 1.23x per-sweep
         # realtime tree factor). DXR_RT_WIDE=1 (trace-time knob, A/B
         # benchmark only) restores the old wide epilogue.
-        wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
+        #
+        # env_deferred (texture env kinds): same layout as the FT realtime
+        # deferred epilogue — rows 0-2 carry the HIT-only direct term (the
+        # host substitutes env(primary) on miss lanes itself), 10 the hit
+        # mask, 11-13 the specular bounce dir, 14-16 its per-channel env
+        # weight; the host resolves env with miss-compacted XLA gathers
+        # (_fused_realtime_outputs_impl).
+        wide = (not env_deferred) and (
+            os.environ.get("DXR_RT_WIDE", "0") == "1"
+        )
         if wide:
             out_ref[:, :] = jnp.zeros_like(out_ref)
+        if env_deferred:
+            smask = sec_ref[7, :]
         for k in range(3):
             specular = jnp.where(spec_active, spec_rad[k] * ratio, 0.0)
             f0 = at[A_SPECULAR + k]
@@ -837,7 +847,15 @@ def _fused_kernel(
             albedo = at[A_ALBEDO + k]
             da = albedo * direct[k] / M_PI
             sa = refl * specular * fresnel
-            out_ref[k, :] = _sanitize(jnp.where(hit, da, env_primary[k]))
+            if env_deferred:
+                ws = refl * ratio * fresnel * smask
+                out_ref[k, :] = _sanitize(jnp.where(hit, da, 0.0))
+                out_ref[11 + k, :] = phong_dir[k]
+                out_ref[14 + k, :] = _sanitize(jnp.where(hit, ws, 0.0))
+            else:
+                out_ref[k, :] = _sanitize(
+                    jnp.where(hit, da, env_primary[k])
+                )
             out_ref[3 + k, :] = _sanitize(jnp.where(hit, sa, 0.0))
             out_ref[6 + k, :] = jnp.where(hit, albedo, 0.0)
             if wide:
@@ -845,6 +863,8 @@ def _fused_kernel(
                     jnp.where(hit, da + sa, env_primary[k])
                 )
         out_ref[9, :] = jnp.where(hit, at[A_ROUGH], 0.0)
+        if env_deferred:
+            out_ref[10, :] = hit.astype(jnp.float32)
         return
 
     color = []
@@ -924,10 +944,9 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
     if "bvh" in scene:
         # A BVH auto-attached ONLY for texture-env routing (scene.py
         # tex_autoroute tag) doesn't disqualify the brute megakernel:
-        # tiny scenes are ~2x faster brute than via traversal, so
-        # progressive keeps them here (env-deferred); realtime rides the
-        # FT deferred path through that BVH.
-        if not (mode == "progressive" and "tex_autoroute" in scene["bvh"]):
+        # tiny scenes are ~2-5x faster brute than via traversal, so BOTH
+        # pipelines keep them here (env-deferred).
+        if "tex_autoroute" not in scene["bvh"]:
             return False
     if int(scene["mt_pack"].shape[1]) > MAX_TRIS:
         return False
@@ -943,11 +962,12 @@ def supports_fused(scene: dict, mode: str, ao_only: bool) -> bool:
         return False
     kind = int(scene["env"]["kind"])
     if kind in (2, 3):
-        # Texture env (latlong/cubemap): progressive runs ENV-DEFERRED —
+        # Texture env (latlong/cubemap): both modes run ENV-DEFERRED —
         # bounce dirs + env weights out, env resolved with miss-compacted
-        # XLA gathers outside (round 4). Realtime keeps the FT/wavefront
-        # path for these kinds.
-        return mode == "progressive"
+        # XLA gathers outside (progressive round 4; realtime rides the same
+        # pattern with the FT realtime-deferred row layout — tiny scenes
+        # measured ~5x faster brute than via the FT traversal walk).
+        return True
     return kind in (0, 1)
 
 
@@ -1176,6 +1196,7 @@ def _fused_dispatch(
             .reshape(-1)
         )  # blocked position j -> raster pixel id
 
+    s_rows = 24 if (realtime and env_deferred) else 16
     cam_pack = pack_cameras(cameras, realtime, py0=py0)
     const_pack = pack_consts(scene, options, env_kind)
     if cluster_rows and c > cluster_rows:
@@ -1226,15 +1247,17 @@ def _fused_dispatch(
         # owns its own 16-row block, so one launch renders S frames.
         # Progressive env-deferred (texture env kinds): each sample owns a
         # 16-row block too — the host resolves env per sample and sums.
+        # Realtime env-deferred: 24-row blocks (AOV rows 0-9 + hit 10 +
+        # spec dir 11-13 + ws 14-16, FT layout parity).
         out_specs=pl.BlockSpec(
-            (16, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
+            (s_rows, tile_r), lambda i, s: (s, i), memory_space=pltpu.VMEM
         )
         if (realtime or env_deferred)
         else pl.BlockSpec(
             (8, tile_r), lambda i, s: (0, i), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct(
-            (16 * s_count if (realtime or env_deferred) else 8, r_pad),
+            (s_rows * s_count if (realtime or env_deferred) else 8, r_pad),
             jnp.float32,
         ),
         scratch_shapes=[
@@ -1391,12 +1414,14 @@ def _fused_realtime_outputs_impl(
     /root/reference/include/DXRExperimentsApp.h:27)."""
     s = int(cameras["frame_count"].shape[0])
     n = width * height
+    deferred = env_kind in (2, 3)  # texture env: resolve gathers host-side
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         realtime=True, tile_r=tile_r, block_w=block_w,
         py0=py0, full_height=full_height, cluster_rows=cluster_rows,
+        env_deferred=deferred,
     )
-    rows = out.reshape(s, 16, n)
+    rows = out.reshape(s, 24 if deferred else 16, n)
 
     def unperm_s(r0, k):
         t = jnp.swapaxes(rows[:, r0 : r0 + k, :], 1, 2)  # [s, n, k]
@@ -1406,18 +1431,62 @@ def _fused_realtime_outputs_impl(
         return unperm_s(r0, 3).reshape(s, height, width, 3)
 
     rough = unperm_s(9, 1).reshape(s, height, width)
-    direct = img3(0)
-    ispec = img3(3)
-    wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
+    if not deferred:
+        direct = img3(0)
+        ispec = img3(3)
+        wide = os.environ.get("DXR_RT_WIDE", "0") == "1"
+        return {
+            "direct": direct,
+            "indirect_specular": ispec,
+            "albedo": img3(6),
+            "roughness": rough,
+            # bit-identical to the kernel's old combined rows: both AOVs
+            # hold the already-rounded f32 da / sa terms, and on miss ispec
+            # is 0 so direct + ispec = env there too
+            # (RealtimeRaytracing.hlsl:119-126)
+            "color": img3(10) if wide else direct + ispec,
+        }
+
+    # env-deferred combine (RealtimeRaytracing.hlsl miss->direct routing,
+    # the brute-megakernel twin of _ft_realtime_outputs_impl): direct gets
+    # env(primary) on miss lanes, indirect_specular gets ws * env(spec_dir),
+    # color = direct + indirect_specular. Both env resolves are
+    # miss-compacted (ops/deferred_resolve). Jitter only shifts ray ORIGINS
+    # (pack_cameras), but frames of a frames-in-flight batch may carry
+    # different poses, so the primary dirs are rebuilt per frame.
+    from ..core.camera import primary_ray_grid
+    from . import deferred_resolve as dr
+
+    env = scene["env"]
+    hit_rows = unperm_s(10, 1)[..., 0] > 0.5  # [s, n]
+    hit = hit_rows.reshape(s, height, width, 1)
+
+    e_ps = []
+    for si in range(s):
+        cam_si = jax.tree.map(lambda x, _si=si: x[_si], cameras)
+        _, pdirs = primary_ray_grid(
+            cam_si, width, height, 10.0, row0=py0, full_height=full_height
+        )
+        e_ps.append(
+            dr.masked_env(
+                env, pdirs.reshape(-1, 3), ~hit_rows[si], env_kind
+            ).reshape(height, width, 3)
+        )
+    e_p = jnp.stack(e_ps)
+    es_term = dr.weighted_env(
+        env,
+        unperm_s(11, 3).reshape(s * n, 3),
+        unperm_s(14, 3).reshape(s * n, 3),
+        env_kind,
+    ).reshape(s, height, width, 3)
+    direct = jnp.where(hit, img3(0), e_p)
+    ispec = img3(3) + es_term
     return {
         "direct": direct,
         "indirect_specular": ispec,
         "albedo": img3(6),
         "roughness": rough,
-        # bit-identical to the kernel's old combined rows: both AOVs hold
-        # the already-rounded f32 da / sa terms, and on miss ispec is 0 so
-        # direct + ispec = env there too (RealtimeRaytracing.hlsl:119-126)
-        "color": img3(10) if wide else direct + ispec,
+        "color": jnp.where(hit, img3(0) + ispec, e_p),
     }
 
 

@@ -311,9 +311,10 @@ class Scene:
                 want_bvh = True
                 # The BVH below exists only for texture ROUTING, not size:
                 # tag it so fused_sample_pallas.supports_fused can keep
-                # brute-eligible tiny scenes on the (2x faster there) brute
-                # megakernel in progressive; realtime still rides the FT
-                # deferred path through this BVH.
+                # brute-eligible tiny scenes on the (2-5x faster there)
+                # brute megakernel in BOTH pipelines (env-deferred);
+                # textured-ALBEDO scenes still ride the FT deferred path
+                # through this BVH.
                 tex_autoroute = True
         if want_bvh and num_tris > 0:
             from ..accel import bvh as bvh_mod

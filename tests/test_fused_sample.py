@@ -223,11 +223,11 @@ def test_supports_fused_gating():
     assert not fused_sample_pallas.supports_fused(scene, "realtime", True)
     big = dict(scene, mt_pack=jnp.zeros((4, 512, 16)))
     assert not fused_sample_pallas.supports_fused(big, "progressive", False)
-    # Texture env kinds ride the megakernel ENV-DEFERRED in progressive
-    # (round 4); realtime keeps the FT/wavefront route for them.
+    # Texture env kinds ride the megakernel ENV-DEFERRED in BOTH pipelines
+    # (progressive round 4; realtime later the same round).
     lat = dict(scene, env=envmap.latlong_env(np.zeros((4, 8, 3), np.float32)))
     assert fused_sample_pallas.supports_fused(lat, "progressive", False)
-    assert not fused_sample_pallas.supports_fused(lat, "realtime", False)
+    assert fused_sample_pallas.supports_fused(lat, "realtime", False)
 
 
 def test_fused_realtime_matches_wavefront():
@@ -257,6 +257,57 @@ def test_fused_realtime_matches_wavefront():
         np.testing.assert_allclose(
             np.asarray(ref[k]), np.asarray(got[k]), atol=5e-6, err_msg=k
         )
+
+
+@pytest.mark.parametrize("kind", ["latlong", "cubemap"])
+def test_fused_realtime_env_deferred_matches_wavefront(kind):
+    """Texture env kinds via the brute megakernel's realtime ENV-DEFERRED
+    path: rows 0-2 carry the hit-only direct term, row 10 the hit mask,
+    11-13/14-16 the specular bounce dir + per-channel env weight (the FT
+    realtime-deferred layout); the host substitutes env(primary) on miss
+    and adds ws * env(spec_dir) — parity with the jnp wavefront realtime
+    path (RealtimeRaytracing.hlsl miss->direct routing)."""
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+
+    scene = _tex_env_cornell(kind)
+    assert fsp.supports_fused(scene, "realtime", False)
+    opts = default_options()
+    camp = cam_stack([5], jitters=[(0.003, -0.002)])[0]
+    ref = render_sample(
+        scene, opts, camp, W, H, mode="realtime", jitter_scale=10.0,
+        impl="jnp", env_kind=int(scene["env"]["kind"]),
+    )
+    got = fsp.fused_realtime_outputs(
+        scene, opts, camp, W, H, int(scene["env"]["kind"]), interpret=True
+    )
+    for k in ("color", "direct", "indirect_specular", "albedo"):
+        assert_images_match(got[k], ref[k])
+    np.testing.assert_allclose(
+        np.asarray(got["roughness"]), np.asarray(ref["roughness"]), atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_fused_realtime_env_deferred_batch():
+    """S-frame deferred realtime batch == S single deferred frames."""
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+
+    scene = _tex_env_cornell("cubemap")
+    opts = default_options()
+    cams = cam_stack([3, 9], jitters=[(0.001, 0.002), (-0.002, 0.001)])
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *cams)
+    ek = int(scene["env"]["kind"])
+    got = fsp.fused_realtime_outputs_batch(
+        scene, opts, stacked, W, H, ek, interpret=True
+    )
+    for i, c in enumerate(cams):
+        want = fsp.fused_realtime_outputs(scene, opts, c, W, H, ek,
+                                          interpret=True)
+        for k in ("color", "direct", "indirect_specular"):
+            np.testing.assert_allclose(
+                np.asarray(got[k][i]), np.asarray(want[k]), atol=1e-6,
+                err_msg=f"{k}[{i}]",
+            )
 
 
 def test_make_render_step_uses_fused_realtime():
