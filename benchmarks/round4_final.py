@@ -400,11 +400,69 @@ def stage7_micros():
     print(f"[s7 incoherent sorted closest] {t*1e3:6.1f} ms", flush=True)
 
 
+def stage8_realtime_env_routing():
+    """Realtime texture-env routing A/B (round-4 realtime env-deferred):
+    cornell + cubemap at 512^2, brute env-deferred (new production route
+    for <=256-tri scenes) vs FT env-deferred (the old route)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dxrexperiments_tpu.app.headless import build_scene, parse_env
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_sample_pallas as fsp
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    w = h = 512
+    sc, cam = build_scene("cornell-glossy")
+    sc.environment = parse_env(CUBE_ENV)
+    cam.set_aspect(w, h)
+    scene = jax.device_put(sc.build(accel="auto"))
+    assert fsp.supports_fused(scene, "realtime", False)
+    ek = int(scene["env"]["kind"])
+    options = jax.device_put(default_options())
+    camp = jax.device_put(camera_params(cam, jitter=(0.001, -0.0007),
+                                        frame_count=3))
+
+    arms = {
+        "brute-deferred (new)": jax.jit(
+            lambda: fsp.fused_realtime_outputs(
+                scene, options, camp, w, h, ek
+            )["color"]
+        ),
+    }
+    if ftp.supports_fused_traverse(scene, "realtime", False):
+        arms["FT-deferred (old)"] = jax.jit(
+            lambda: ftp.fused_traverse_realtime_outputs(
+                scene, options, camp, w, h, ek
+            )["color"]
+        )
+    imgs = {}
+    for tag, fn in arms.items():
+        t0 = time.perf_counter()
+        imgs[tag] = fn()
+        fence(imgs[tag])
+        print(f"[s8 compile {tag}] {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        t = best_of(fn)
+        if "new" in tag:
+            RESULTS["realtime_cubemap_512_ms_per_frame"] = round(t * 1e3, 2)
+        print(f"[s8 rt cornell+cubemap {tag}] {t*1e3:7.2f} ms/frame "
+              f"({1.0/t:6.1f} fps)", flush=True)
+    if len(imgs) == 2:
+        vals = list(imgs.values())
+        import numpy as np
+
+        d = np.abs(np.asarray(vals[0]) - np.asarray(vals[1]))
+        print(f"[s8 parity] median {np.median(d):.2e} "
+              f"p99.9 {np.quantile(d, 0.999):.2e}", flush=True)
+
+
 def main() -> None:
     stages = (
         {int(s) for s in sys.argv[1].split(",")}
         if len(sys.argv) > 1
-        else {1, 2, 3, 4, 5, 6, 7}
+        else {1, 2, 3, 4, 5, 6, 7, 8}
     )
     t_all = time.perf_counter()
     warmup()
@@ -416,6 +474,7 @@ def main() -> None:
         (5, stage5_realtime),
         (6, stage6_instanced),
         (7, stage7_micros),
+        (8, stage8_realtime_env_routing),
     ):
         if num not in stages:
             continue
