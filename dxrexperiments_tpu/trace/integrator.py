@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -117,7 +118,7 @@ def _ray_sort_order(scene: dict, origins, directions):
 
 def _trace_closest(
     scene, origins, directions, t_min, t_max, cull, impl: str,
-    sort_rays: bool = False,
+    sort_rays: bool = False, tile: int | None = None,
 ):
     """Closest hit + hit attributes, dispatched to the chosen backend.
 
@@ -127,8 +128,12 @@ def _trace_closest(
 
     sort_rays: re-tile incoherent rays by (origin cell, octant) before
     packet traversal (BVH path only); results are scattered back.
+
+    tile: packet size override for the fat-node kernels (None = FAT_TILE;
+    the secondary bounce stage passes SEC_TILE — see its definition).
     """
     impl = resolve_impl(impl)
+    tile = tile or FAT_TILE
     if "tlas" in scene:
         # Two-level TLAS/BLAS scene (accel/tlas.py): shared per-mesh BLAS +
         # instance transforms — the true RtScene analogue
@@ -141,7 +146,7 @@ def _trace_closest(
                 hits = traverse2_pallas.traverse2_fat_closest(
                     scene["tlas"], origins, directions, t_min, t_max,
                     leaf_size=BVH_LEAF_SIZE, cull_backface=cull,
-                    interpret=(impl == "pallas_interpret"), tile=FAT_TILE,
+                    interpret=(impl == "pallas_interpret"), tile=tile,
                 )
             else:
                 hits = traverse2_pallas.traverse2_closest(
@@ -184,7 +189,7 @@ def _trace_closest(
                 leaf_size=BVH_LEAF_SIZE,
                 cull_backface=cull,
                 interpret=(impl == "pallas_interpret"),
-                tile=FAT_TILE,
+                tile=tile,
             )
         else:
             hits = traverse_pallas.traverse_closest(
@@ -594,11 +599,16 @@ def _secondary_radiance(
     # actives' unions while paying argsort + three gathers + a scatter.
     is_hit, position, normal, mat = _trace_closest(
         scene, origins, directions, RAY_EPSILON, t_max_eff, cull=False,
-        impl=impl,
+        impl=impl, tile=SEC_TILE,
         # NOTE: sort_rays measured NEGATIVE here on the 983k-tri instanced
         # scene (68 s vs 46 s / 16 spp): argsort+scatter overhead exceeded
-        # the union reduction. Kept available as an opt-in for scenes where
-        # bounce-ray unions actually shrink (see test_ray_sorting).
+        # the union reduction. A GLOBAL octant+morton sort re-measured
+        # 2.6x negative on the two-level secondary (round 4: 256 -> 657 ms)
+        # and a block-local octant sort was negative at every tile size —
+        # bounce rays inherit block-origin locality that any reorder
+        # destroys. The lever that DID pay is the smaller SEC_TILE packet
+        # (see its definition). Kept available as an opt-in for scenes
+        # where bounce-ray unions actually shrink (see test_ray_sorting).
     )
     hit = is_hit & active
     # Env contributes only where an ACTIVE lane MISSED
@@ -841,6 +851,15 @@ GEO_CONST_LIMIT_BYTES = 8 * 1024 * 1024
 # the 200k soup — smaller packets shrink the union faster than the extra
 # scalar iterations cost, now that fat visits are half as many.
 FAT_TILE = 1024
+# Secondary (bounce) closest traces run SMALLER packets: hemisphere draws
+# make every packet's direction union near-isotropic, so shrinking the
+# packet shrinks its node/instance union faster than the extra per-packet
+# scalar iterations cost. Measured on the 983k-tri instanced scene
+# (524k-ray diffuse+spec secondary, 42% active, /tmp sweep 2026-08-20):
+# flat 138.7 ms @512 vs 164.6 @1024 (-16%); two-level 242.3 vs 258.6 (-6%);
+# 384/640/768 all worse than 512 on both builds. Camera-coherent stages
+# keep FAT_TILE=1024 (round-3 sweeps). DXR_SEC_TILE overrides for sweeps.
+SEC_TILE = int(os.environ.get("DXR_SEC_TILE", "512"))
 BLOCK_H, BLOCK_W = 32, 32
 
 
