@@ -499,6 +499,9 @@ def main(argv=None) -> int:
             print(f"resumed {args.resume}: {pipe.accum_count} accumulated "
                   f"samples, continuing at frame {start_frame}")
 
+        # Resuming an already-complete checkpoint (start_frame >= spp) must
+        # emit the accumulated image, not crash on an unbound `out`.
+        out = pipe.accum
         t0 = time.perf_counter()
         for frame in range(start_frame, args.spp):
             if args.animate_instances:
