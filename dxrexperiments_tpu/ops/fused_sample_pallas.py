@@ -505,7 +505,8 @@ def _env_color(d, const_ref, env_kind: int):
 
 
 def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
-                     t_d=None, clusters=None, cl_ref=None, occ_ref=None):
+                     t_d=None, clusters=None, cl_ref=None, occ_ref=None,
+                     mc_static: bool = False):
     """Direct term for both lights with shadow any-hit sweeps + the debug==2
     one-of-two MC estimator (integrator._direct_lighting parity).
 
@@ -513,6 +514,15 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
     originate at `pos`; the caller's secondary closest sweeps share it too).
     The directional-light sweep keeps its direction as rank-0 SMEM scalars,
     collapsing its det and the db-halves of u_d/v_d to per-triangle columns.
+
+    mc_static: compile the debug==2 MC estimator ONLY (caller must run with
+    options["debug"]==2): the two per-light sweeps merge into ONE sweep
+    whose per-lane direction/t_max are where-selected by the pick draw —
+    each lane needs only its picked light's visibility
+    (/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:91-104 picks
+    1 of the 2 lights), so one vector sweep replaces the point sweep + the
+    d_scalar directional sweep. The per-lane math matches the traced mc
+    branch exactly (selection before the dot/occlusion changes no values).
 
     Returns 3-tuple of [TILE_R]."""
     dl = tuple(const_ref[0, C_DLDIR + k] for k in range(3))  # rank-0
@@ -524,6 +534,35 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
     if t_d is None:
         t_d = _t_rows(mt_ref, pos)
     tmax_p = jnp.maximum(dist - RAY_EPSILON, RAY_EPSILON)
+    if mc_static:
+        pick_p = pick_draw >= 0.5
+        dm = tuple(jnp.where(pick_p, lp[k], dl[k]) for k in range(3))
+        # Directional lanes get the no-clamp window: BIG*det_abs saturates
+        # to +inf for large dets, and inf - ts > 0 for every finite ts, so
+        # the merged sweep's validity matches the tmax=None sweep exactly.
+        tmax_m = jnp.where(pick_p, tmax_p, BIG)
+        if clusters:
+            occ_m = _any_hit_clustered(
+                mt_ref, cl_ref, occ_ref, pos, dm, RAY_EPSILON, tmax_m,
+                clusters, t_d=t_d,
+            )
+        else:
+            occ_m = _any_hit(mt_ref, pos, dm, RAY_EPSILON, tmax_m, t_d=t_d)
+        vis = jnp.where(active & ~occ_m, 1.0, 0.0)
+        nol = _saturate(_dot3(normal, dm))
+        # Same expression order as the two-sweep path below, so the mc
+        # branch is bit-identical lane-for-lane.
+        falloff = 1.0 / (TWO_PI * jnp.maximum(dist * dist, 1e-12))
+        dterm = nol * vis
+        pterm = nol * vis * falloff
+        return tuple(
+            jnp.where(
+                pick_p,
+                (const_ref[0, C_PLCI + k] * pterm) * 2.0,
+                (const_ref[0, C_DLCI + k] * dterm) * 2.0,
+            )
+            for k in range(3)
+        )
     if clusters:
         occ_d = _any_hit_clustered(
             mt_ref, cl_ref, occ_ref, pos, dl, RAY_EPSILON, None, clusters,
@@ -557,7 +596,7 @@ def _direct_lighting(mt_ref, const_ref, pos, normal, pick_draw, active,
 def _secondary_radiance(
     mt_ref, attr_ref, const_ref, o, d, pick_draw, active, env_kind: int,
     realtime: bool = False, t_d=None, clusters=None, cl_ref=None,
-    occ_ref=None, defer_env: bool = False,
+    occ_ref=None, defer_env: bool = False, mc_static: bool = False,
 ):
     """Depth-1 radiance: closest hit, direct lighting, emissive — specular
     and indirect cut by MAX_RADIANCE_RAY_DEPTH (integrator._secondary_radiance
@@ -577,6 +616,7 @@ def _secondary_radiance(
     direct = _direct_lighting(
         mt_ref, const_ref, h["pos"], h["normal"], pick_draw, hit,
         clusters=clusters, cl_ref=cl_ref, occ_ref=occ_ref,
+        mc_static=mc_static,
     )
     at = h["at"]
     out = []
@@ -617,6 +657,7 @@ def _fused_kernel(
     full_height: int = 0,
     cluster_rows: int = 0,
     env_deferred: bool = False,
+    light_mc: bool = False,
 ):
     i = pl.program_id(0)
     s = pl.program_id(1)
@@ -700,6 +741,7 @@ def _fused_kernel(
     direct = _direct_lighting(
         mt_ref, const_ref, pos, normal, u1, hit, t_d=t_d_pos,
         clusters=clusters, cl_ref=cl_ref, occ_ref=occ_ref,
+        mc_static=light_mc,
     )
 
     # ---- indirect diffuse bounce direction (draws u1/u2 or u2/u3) ---------
@@ -758,7 +800,7 @@ def _fused_kernel(
             s3, emask = _secondary_radiance(
                 mt_ref, attr_ref, const_ref, pos, diff_dir, u1, hit, env_kind,
                 t_d=t_d_pos, clusters=clusters, cl_ref=cl_ref,
-                occ_ref=occ_ref, defer_env=env_deferred,
+                occ_ref=occ_ref, defer_env=env_deferred, mc_static=light_mc,
             )
             for k in range(3):
                 sec_ref[k, :] = s3[k]
@@ -778,6 +820,7 @@ def _fused_kernel(
             mt_ref, attr_ref, const_ref, pos, phong_dir, u1, spec_active,
             env_kind, realtime=realtime, t_d=t_d_pos, clusters=clusters,
             cl_ref=cl_ref, occ_ref=occ_ref, defer_env=env_deferred,
+            mc_static=light_mc,
         )
         for k in range(3):
             sec_ref[3 + k, :] = s3[k]
@@ -1145,9 +1188,14 @@ def _fused_dispatch(
     full_height: int = 0,
     cluster_rows: int = 0,
     env_deferred: bool = False,
+    light_mc: bool = False,
 ):
     """Shared host side of the megakernel: packs constants/cameras/seeds and
     launches _fused_kernel. Returns (out [rows, n], inv_perm or None).
+
+    light_mc: compile the debug==2 MC one-of-two light estimator statically
+    (merged single shadow sweep per direct-lighting call — 9 sweeps become
+    7); the caller must run with options["debug"]==2.
 
     Progressive: sum of S samples accumulated in the out block.
 
@@ -1228,6 +1276,7 @@ def _fused_dispatch(
             full_height=full_height,
             cluster_rows=cluster_rows,
             env_deferred=env_deferred,
+            light_mc=light_mc,
         ),
         grid=(r_pad // tile_r, s_count),
         in_specs=[
@@ -1291,17 +1340,18 @@ def _unperm(rows: jnp.ndarray, inv) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "width", "height", "env_kind", "interpret", "tile_r", "block_w",
-        "full_height", "cluster_rows",
+        "full_height", "cluster_rows", "light_mc",
     ),
 )
 def _fused_progressive_sum_impl(
     scene, options, cameras, width, height, env_kind, interpret,
     tile_r, block_w, py0=None, full_height=0, cluster_rows=0,
+    light_mc=False,
 ):
     out, inv = _fused_dispatch(
         scene, options, cameras, width, height, env_kind, interpret,
         tile_r=tile_r, block_w=block_w, py0=py0, full_height=full_height,
-        cluster_rows=cluster_rows,
+        cluster_rows=cluster_rows, light_mc=light_mc,
     )
     return _unperm(out[:3], inv).reshape(height, width, 3)
 
@@ -1376,6 +1426,7 @@ def fused_progressive_sum(
     interpret: bool = False,
     py0=None,
     full_height: int = 0,
+    light_mc: bool = False,
 ) -> jnp.ndarray:
     """Sum of S progressive samples, one kernel launch. [H, W, 3].
 
@@ -1384,16 +1435,20 @@ def fused_progressive_sum(
     miss-compacted XLA gathers outside (gathers don't lower in Mosaic).
 
     py0/full_height: render rows [py0, py0+height) of a full_height-tall
-    image (multi-chip row sharding, parallel/render.py)."""
+    image (multi-chip row sharding, parallel/render.py).
+
+    light_mc: static debug==2 MC light-pick variant (one merged shadow
+    sweep per direct-lighting call, 9 sweeps -> 7); requires
+    options["debug"]==2 at runtime. Analytic env kinds only."""
     tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
-    impl = (
-        _fused_progressive_deferred_impl
-        if env_kind in (2, 3)
-        else _fused_progressive_sum_impl
-    )
-    return impl(
+    if env_kind in (2, 3):
+        return _fused_progressive_deferred_impl(
+            scene, options, cameras, width, height, env_kind, interpret,
+            tile_r, block_w, py0, full_height, cluster_rows,
+        )
+    return _fused_progressive_sum_impl(
         scene, options, cameras, width, height, env_kind, interpret,
-        tile_r, block_w, py0, full_height, cluster_rows,
+        tile_r, block_w, py0, full_height, cluster_rows, light_mc,
     )
 
 
@@ -1461,18 +1516,22 @@ def _fused_realtime_outputs_impl(
     hit_rows = unperm_s(10, 1)[..., 0] > 0.5  # [s, n]
     hit = hit_rows.reshape(s, height, width, 1)
 
-    e_ps = []
+    # Primary dirs are rebuilt per frame (poses may differ across the
+    # batch) but resolved in ONE stacked [s*n] masked_env call — one
+    # gather/compact tree instead of S, matching es_term below.
+    pdirs_s = []
     for si in range(s):
         cam_si = jax.tree.map(lambda x, _si=si: x[_si], cameras)
         _, pdirs = primary_ray_grid(
             cam_si, width, height, 10.0, row0=py0, full_height=full_height
         )
-        e_ps.append(
-            dr.masked_env(
-                env, pdirs.reshape(-1, 3), ~hit_rows[si], env_kind
-            ).reshape(height, width, 3)
-        )
-    e_p = jnp.stack(e_ps)
+        pdirs_s.append(pdirs.reshape(-1, 3))
+    e_p = dr.masked_env(
+        env,
+        jnp.concatenate(pdirs_s, axis=0),
+        ~hit_rows.reshape(s * n),
+        env_kind,
+    ).reshape(s, height, width, 3)
     es_term = dr.weighted_env(
         env,
         unperm_s(11, 3).reshape(s * n, 3),
@@ -1527,10 +1586,13 @@ def fused_realtime_outputs_batch(
     frames-in-flight analogue (the reference keeps 3 frames in flight,
     /root/reference/include/DXRExperimentsApp.h:27 /
     src/utils/DeviceResources.cpp:580-598): per-frame cameras ride the
-    sample grid axis, each frame writing its own 16-row AOV block, so the
-    ~5 ms per-dispatch cost is amortized across the batch. cameras is the
-    CameraParams pytree stacked on a leading [S] frame axis; returns the
-    AOV dict with a leading [S] axis."""
+    sample grid axis, each frame writing its own AOV block (16 rows; 24
+    for texture-env kinds, where rows 10-16 carry hit mask / spec dir /
+    env weight for the host-side deferred resolve — see
+    _fused_realtime_outputs_impl), so the ~5 ms per-dispatch cost is
+    amortized across the batch. cameras is the CameraParams pytree stacked
+    on a leading [S] frame axis; returns the AOV dict with a leading [S]
+    axis."""
     tile_r, block_w, cluster_rows = _env_knobs(int(scene["mt_pack"].shape[1]))
     return _fused_realtime_outputs_impl(
         scene, options, cameras, width, height, env_kind, interpret,
