@@ -72,8 +72,15 @@ def _make_traverse2_kernel(K: int, cull: bool, occlusion: bool):
             )
             out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
 
-        def blas_traverse(iv, slot_i):
-            """Inner BLAS loop for one instance (packet pre-transformed)."""
+        def blas_traverse(iv, slot_i, live):
+            """Inner BLAS loop for one instance (packet pre-transformed).
+
+            live: [1, TILE] per-lane mask — lanes whose slab test hit this
+            instance's world AABB in the TLAS walk. Dead lanes get their far
+            clamp collapsed to -BIG inside this walk (the dead-lane data
+            mask, not pl.when), so they stop feeding the BLAS node-visit
+            unions — without it every instance in a packet's TLAS union
+            re-enters a full whole-packet BLAS walk."""
             a = [[iv[3 * r + c] for c in range(3)] for r in range(3)]
             b = [iv[9 + k] for k in range(3)]
             o2 = [
@@ -146,7 +153,7 @@ def _make_traverse2_kernel(K: int, cull: bool, occlusion: bool):
                 t0s = [(lo[k] - o2[k]) * inv2[k] for k in range(3)]
                 t1s = [(hi[k] - o2[k]) * inv2[k] for k in range(3)]
                 tn = tmin[None, :]
-                tf = jnp.minimum(tmax, best_t)[None, :]
+                tf = jnp.where(live, jnp.minimum(tmax, best_t)[None, :], -BIG)
                 for k in range(3):
                     tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
                     tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
@@ -236,7 +243,8 @@ def _make_traverse2_kernel(K: int, cull: bool, occlusion: bool):
                 tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
             if occlusion:
                 tf = jnp.where(out_ref[4, :][None, :] > 0.5, -BIG, tf)
-            node_hit = jnp.any(tn <= tf)
+            lane_hit = tn <= tf
+            node_hit = jnp.any(lane_hit)
             is_leaf = left < 0.0
 
             sp = sp - 1
@@ -245,7 +253,7 @@ def _make_traverse2_kernel(K: int, cull: bool, occlusion: bool):
             def _instance():
                 slot_i = (-left - 1.0).astype(jnp.int32)
                 iv = _inst_fields(inst_ref, slot_i)
-                blas_traverse(iv, slot_i)
+                blas_traverse(iv, slot_i, lane_hit)
 
             push = node_hit & ~is_leaf
 
@@ -304,7 +312,9 @@ def _make_traverse2_fat_kernel(K: int, cull: bool, occlusion: bool):
             )
             out_ref[4, :] = jnp.where(dead, 2.0, out_ref[4, :])
 
-        def blas_traverse(iv, slot_i):
+        def blas_traverse(iv, slot_i, live):
+            # live: [1, TILE] per-instance slab mask from the TLAS walk —
+            # see the binary kernel's blas_traverse docstring.
             a = [[iv[3 * r + c] for c in range(3)] for r in range(3)]
             b = [iv[9 + k] for k in range(3)]
             o2 = [
@@ -394,7 +404,9 @@ def _make_traverse2_fat_kernel(K: int, cull: bool, occlusion: bool):
                 f = _node_fields16(blas_ref, node)
 
                 best_t = out_ref[0, :]
-                tf_base = jnp.minimum(tmax, best_t)[None, :]
+                tf_base = jnp.where(
+                    live, jnp.minimum(tmax, best_t)[None, :], -BIG
+                )
                 if occlusion:
                     tf_base = jnp.where(
                         out_ref[4, :][None, :] > 0.5, -BIG, tf_base
@@ -493,6 +505,7 @@ def _make_traverse2_fat_kernel(K: int, cull: bool, occlusion: bool):
                 tf_base = jnp.where(out_ref[4, :][None, :] > 0.5, -BIG, tf_base)
             hits = []
             enters = []
+            lanes = []
             for s in range(2):
                 lo = f[6 * s : 6 * s + 3]
                 hi = f[6 * s + 3 : 6 * s + 6]
@@ -504,6 +517,7 @@ def _make_traverse2_fat_kernel(K: int, cull: bool, occlusion: bool):
                     tn = jnp.maximum(tn, jnp.minimum(t0s[k], t1s[k]))
                     tf = jnp.minimum(tf, jnp.maximum(t0s[k], t1s[k]))
                 lane_hit = tn <= tf
+                lanes.append(lane_hit)
                 hits.append(jnp.any(lane_hit))
                 enters.append(jnp.min(jnp.where(lane_hit, tn, BIG)))
 
@@ -517,13 +531,13 @@ def _make_traverse2_fat_kernel(K: int, cull: bool, occlusion: bool):
             def _inst0():
                 slot_i = ptr0.astype(jnp.int32)
                 iv = _inst_fields(inst_ref, slot_i)
-                blas_traverse(iv, slot_i)
+                blas_traverse(iv, slot_i, lanes[0])
 
             @pl.when(leaf1)
             def _inst1():
                 slot_i = ptr1.astype(jnp.int32)
                 iv = _inst_fields(inst_ref, slot_i)
-                blas_traverse(iv, slot_i)
+                blas_traverse(iv, slot_i, lanes[1])
 
             both = int0 & int1
             c0_near = enters[0] <= enters[1]
