@@ -79,6 +79,7 @@ def make_progressive_step(
     impl: str = "auto",
     dynamic: bool = False,
     refraction: bool = False,
+    light_mc: bool = False,
 ):
     """Compile the accumulation step with scene geometry baked in (see
     trace.integrator.make_render_step for why). Returns jitted
@@ -92,6 +93,13 @@ def make_progressive_step(
     env) and the resolved impl is Pallas, the whole sample runs as ONE fused
     megakernel (ops/fused_sample_pallas.py) — the fast path for BASELINE
     config 1.
+
+    light_mc: compile the brute megakernel's debug==2 MC one-of-two light
+    estimator statically (merged single shadow sweep per direct-lighting
+    call — the reference's own UI sampling mode,
+    /root/reference/assets/shaders/ProgressiveRaytracing.hlsl:91-104);
+    options["debug"] MUST be 2 at runtime. Non-megakernel routes fall back
+    to the traced is_mc flag (same image, no sweep savings).
     """
     from ..ops import fused_sample_pallas, fused_traverse_pallas
     from ..trace.integrator import (
@@ -158,9 +166,12 @@ def make_progressive_step(
                     if s_count > 1
                     else jax.tree.map(lambda x: x[None], camera)
                 )
+                fused_kwargs = {"interpret": fused_interpret}
+                if use_fused and light_mc:
+                    fused_kwargs["light_mc"] = True
                 total = fused_fn(
                     full, options, cams, width, height, env_kind,
-                    interpret=fused_interpret,
+                    **fused_kwargs,
                 )
                 mean = total / s_count
                 return (base_count * accum + s_count * mean) / (

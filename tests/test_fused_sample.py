@@ -105,6 +105,49 @@ def test_fused_matches_oracle_options(opts):
     assert_images_match(got, want)
 
 
+def test_fused_light_mc_static_matches():
+    """The static debug==2 MC variant (light_mc=True: ONE merged per-lane
+    shadow sweep per direct-lighting call instead of two, 9 sweeps -> 7)
+    must reproduce the traced is_mc path bit-for-bit — the per-lane merged
+    sweep computes exactly the picked light's visibility
+    (/root/reference/assets/shaders/ProgressiveRaytracing.hlsl:91-104)."""
+    scene = cornell()
+    options = default_options(debug=2)
+    cam = cam_stack([11], jitters=[(0.25 / W, -0.15 / H)])[0]
+    cams = jax.tree.map(lambda x: x[None], cam)
+    ek = int(scene["env"]["kind"])
+    traced = fused_sample_pallas.fused_progressive_sum(
+        scene, options, cams, W, H, ek, interpret=True
+    )
+    static = fused_sample_pallas.fused_progressive_sum(
+        scene, options, cams, W, H, ek, interpret=True, light_mc=True
+    )
+    np.testing.assert_array_equal(np.asarray(static), np.asarray(traced))
+    # and both match the wavefront oracle within the knife-edge bound
+    assert_images_match(static, oracle_one(scene, options, cam))
+
+
+def test_fused_light_mc_step_factory():
+    """make_progressive_step(light_mc=True) routes the flag into the
+    megakernel and matches the default factory with debug==2."""
+    scene = cornell()
+    options = default_options(debug=2)
+    cams = cam_stack([3, 4], jitters=[(0.1 / W, 0.0), (0.0, -0.1 / H)])
+    stacked = jax.tree.map(lambda *x: jnp.stack(x), *cams)
+    stacked["accum_count"] = jnp.zeros((2,), jnp.float32)
+    accum = jnp.zeros((H, W, 3), jnp.float32)
+    mi = jnp.asarray(8, jnp.int32)
+    args = (accum, options, stacked, scene["lights"], scene["env"], mi)
+    base = make_progressive_step(
+        scene, W, H, samples_per_step=2, impl="pallas_interpret"
+    )(*args)
+    mc = make_progressive_step(
+        scene, W, H, samples_per_step=2, impl="pallas_interpret",
+        light_mc=True,
+    )(*args)
+    np.testing.assert_array_equal(np.asarray(mc), np.asarray(base))
+
+
 def test_fused_gradient_env():
     scene = cornell(env="gradient")
     options = default_options()
@@ -411,6 +454,7 @@ def test_fused_clustered_matches_flat(monkeypatch):
     np.testing.assert_array_equal(clustered, flat)
 
 
+@pytest.mark.slow
 def test_mxu_split_matches_flat(monkeypatch):
     """DXR_MXU_SPLIT routes a tail of each sweep's triangle rows through
     the MXU dot form of _pair_terms. The dot reassociates the 19-FMA term
