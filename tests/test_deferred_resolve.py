@@ -191,6 +191,7 @@ def test_wavefront_env_compaction_matches(mode, monkeypatch):
     assert base.any()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("scene_kind", ["env", "tex"])
 def test_deferred_fused_traverse_compaction_bit_identical(
     scene_kind, monkeypatch

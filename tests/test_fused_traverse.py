@@ -141,6 +141,7 @@ def test_ft_soup_deep_tree():
     assert_images_match(got, want)
 
 
+@pytest.mark.slow
 def test_ft_multi_sample_sum():
     """S samples in one launch == the sum of S single-sample launches."""
     scene = cornell_bvh()
@@ -249,6 +250,7 @@ def test_render_step_realtime_bvh_uses_fused_traverse():
     assert np.isfinite(np.asarray(out["color"])).all()
 
 
+@pytest.mark.slow
 def test_ft_hbm_dma_variant(monkeypatch):
     """Big-scene kernel variant (HBM leaf DMA + VMEM node reduce) must match
     the resident variant; forced by dropping the residency thresholds."""
@@ -294,6 +296,7 @@ def cornell_area(textured=False, env="gradient"):
     return sc.build(accel="bvh")
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("opts", [{}, {"debug": 2}, {"no_indirect_diffuse": True}])
 def test_ft_area_light_rig(opts):
     """1 dir + 1 area rig: the area light's stratified soft-shadow rays ride
