@@ -24,6 +24,19 @@ are free inside the sweep kernels but cost full price in XLA gathers.
 Index construction methods (both static-shape, knob-selected so the chip
 decides): ``nonzero`` = jnp.nonzero(size=K) (cumsum + bincount scatter),
 ``sort`` = one stable sort_key_val on the need mask.
+
+``block`` mode (round 5) is the one that actually wins on v5e: the
+per-ROW compaction above measured NEGATIVE at every scored config because
+the cumsum index build runs over all N rows and the ``.at[idx].add``
+scatter-back costs more per row than the gathers it saves. Block mode
+moves every per-row cost to per-BLOCK (B=1024 rows): the need mask is
+reduced to ``any`` per block, the index build runs over N/B entries, the
+input compaction is a gather of cap_b WIDE rows ([nb, B*pd] — gather time
+is sub-linear in row width, so block rows are ~free), and the
+re-expansion is another wide-row gather by each block's cumsum position —
+no scatter anywhere. The only full-price gathers left are fn's own table
+lookups on the cap*N compacted rows, so the win is ~linear in the
+block-level sparsity of ``need``.
 """
 
 from __future__ import annotations
@@ -36,25 +49,27 @@ import jax.numpy as jnp
 
 
 def _knobs() -> tuple[bool, tuple[float, ...], str]:
-    """DXR_COMPACT=1 enables; DXR_COMPACT_CAPS="0.125,0.5" sets the
-    capacity tiers (fractions of N, ascending); DXR_COMPACT_METHOD
-    in {nonzero, sort}. Read at trace time (outside jit) like _ft_knobs.
+    """DXR_COMPACT in {0, 1, block} enables (1 = per-row, block =
+    block-granular); DXR_COMPACT_CAPS="0.125,0.5" sets the capacity tiers
+    (fractions of N, ascending); DXR_COMPACT_METHOD in {nonzero, sort}
+    picks the per-row index build; DXR_COMPACT_B the block size. Read at
+    trace time (outside jit) like _ft_knobs.
 
-    DEFAULT OFF: measured NEGATIVE on v5e at every scored config
-    (benchmarks/round4_batch.py — susanne+cubemap FT-deferred 31.4 -> 42.1
-    ms/sample, cornell+HDR-latlong 1080p brute-deferred 116 -> 145): the
-    nonzero index build (cumsum over N) + the .at[idx].add scatter-back
-    cost more than the skipped gather rows save at ~25 ns/row. The
-    machinery stays (correct, tested, knob-selectable) for hardware where
-    scatter is cheaper than gather."""
-    on = os.environ.get("DXR_COMPACT", "0") == "1"
+    Per-row mode is DEFAULT OFF: measured NEGATIVE on v5e at every scored
+    config (benchmarks/round4_batch.py — susanne+cubemap FT-deferred
+    31.4 -> 42.1 ms/sample, cornell+HDR-latlong 1080p brute-deferred
+    116 -> 145): the nonzero index build (cumsum over N) + the
+    .at[idx].add scatter-back cost more than the skipped gather rows save
+    at ~25 ns/row. ``block`` mode (see module docstring) pays neither."""
+    mode = os.environ.get("DXR_COMPACT", "0")
     caps = tuple(
         float(x)
         for x in os.environ.get("DXR_COMPACT_CAPS", "0.125,0.5").split(",")
         if x
     )
     method = os.environ.get("DXR_COMPACT_METHOD", "nonzero")
-    return on, caps, method
+    block = int(os.environ.get("DXR_COMPACT_B", "1024"))
+    return mode, caps, method, block
 
 
 def _round_cap(n: int, frac: float) -> int:
@@ -84,7 +99,8 @@ def compact_apply(
     out_dim: int = 3,
     caps: tuple[float, ...] | None = None,
     method: str | None = None,
-    enabled: bool | None = None,
+    enabled: bool | str | None = None,
+    block: int | None = None,
 ) -> jnp.ndarray:
     """[n, out_dim] result of ``where(need[:, None], fn(packed), 0)``,
     gathering/evaluating only ~count rows when the runtime count fits a
@@ -95,18 +111,28 @@ def compact_apply(
     (directions+weights / uv+mid packed into ONE array so the compaction
     gather is a single wide-row gather — gather time is sub-linear in row
     width). need: [n] bool.
+
+    enabled: False / True (per-row) / "block" (block-granular; see module
+    docstring). Block mode counts a block as needed when ANY of its rows
+    is, so its effective sparsity is the block-level one.
     """
-    k_on, k_caps, k_method = _knobs()
+    k_mode, k_caps, k_method, k_block = _knobs()
     if enabled is None:
-        enabled = k_on
+        enabled = {"0": False, "1": True}.get(k_mode, k_mode)
     caps = k_caps if caps is None else caps
     method = k_method if method is None else method
+    block = k_block if block is None else block
 
     n = need.shape[0]
     count = jnp.sum(need.astype(jnp.int32))
 
     def full(_):
         return jnp.where(need[:, None], fn(packed), 0.0)
+
+    if enabled == "block":
+        return _block_compact_apply(
+            fn, need, packed, out_dim, caps, block, full
+        )
 
     cap_sizes = sorted({_round_cap(n, f) for f in caps if 0 < f < 1})
     if not enabled or not cap_sizes or cap_sizes[0] >= n:
@@ -128,6 +154,60 @@ def compact_apply(
 
         def go(_):
             return jax.lax.cond(count <= tiers[0], make_compact(tiers[0]), rest, None)
+
+        return go
+
+    return build(cap_sizes)(None)
+
+
+def _block_compact_apply(fn, need, packed, out_dim, caps, block, full):
+    """Block-granular compaction: every per-row cost of the per-row path
+    becomes per-block. Index build over nb = ceil(n/B) entries; input
+    compaction = ONE gather of cap_b wide rows ([nb, B*pd]); re-expansion
+    = ONE gather of nb wide rows by each block's cumsum position (clip(
+    inclusive_cumsum - 1) points not-needed blocks at an arbitrary
+    compacted slot — their rows are zeroed by the final per-row need
+    mask). No scatter, no full-width cumsum; fn's own table gathers run
+    on cap_b*B rows only."""
+    n, pd = packed.shape
+    nb = -(-n // block)
+    pad = nb * block - n
+    need_p = jnp.pad(need, (0, pad))
+    packed_p = jnp.pad(packed, ((0, pad), (0, 0)))
+    blk_need = jnp.any(need_p.reshape(nb, block), axis=1)
+    count_b = jnp.sum(blk_need.astype(jnp.int32))
+
+    cap_sizes = sorted(
+        {max(1, min(int(nb * f) + 1, nb)) for f in caps if 0 < f < 1}
+    )
+    if not cap_sizes or cap_sizes[0] >= nb:
+        return full(None)
+
+    packed_wide = packed_p.reshape(nb, block * pd)
+    pos = jnp.clip(jnp.cumsum(blk_need.astype(jnp.int32)) - 1, 0, None)
+
+    def make_compact(cap_b):
+        def go(_):
+            (idx_b,) = jnp.nonzero(blk_need, size=cap_b, fill_value=0)
+            rows = packed_wide[idx_b].reshape(cap_b * block, pd)
+            vals = fn(rows)  # [cap_b*B, out_dim]
+            wide = vals.reshape(cap_b, block * out_dim)
+            out = wide[jnp.clip(pos, 0, cap_b - 1)].reshape(
+                nb * block, out_dim
+            )
+            return jnp.where(need_p[:, None], out, 0.0)[:n]
+
+        return go
+
+    def build(tiers):
+        if not tiers:
+            return full
+        rest = build(tiers[1:])
+
+        def go(_):
+            return jax.lax.cond(
+                count_b <= tiers[0], make_compact(tiers[0]), rest, None
+            )
 
         return go
 

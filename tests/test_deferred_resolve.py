@@ -44,6 +44,52 @@ def test_compact_apply_disabled_matches():
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("frac", [0.01, 0.3, 0.9])
+@pytest.mark.parametrize("block", [8, 32])
+def test_block_compact_apply_matches_full(frac, block):
+    """Block mode (round 5): same contract as per-row compaction, block-
+    granular need. Exercises n not a multiple of B (padding path), counts
+    landing in each tier AND overflowing to the full fallback."""
+    rng = np.random.default_rng(hash(("block", frac, block)) % 2**31)
+    n = 403
+    packed = jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32))
+    need = jnp.asarray(rng.random(n) < frac)
+    want = np.where(np.asarray(need)[:, None], np.asarray(_fn(packed)), 0.0)
+    got = dr.compact_apply(
+        _fn, need, packed, out_dim=3, caps=(0.125, 0.5), enabled="block",
+        block=block,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_block_compact_clustered_need_hits_small_tier():
+    """Clustered need (the case block mode exists for): all needed rows in
+    one block — the smallest capacity tier must reproduce the full
+    resolve exactly."""
+    n, block = 256, 32
+    packed = jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4)
+    need = np.zeros(n, bool)
+    need[40:60] = True  # spans blocks 1..1 (rows 40..59 in blocks 1,1)
+    got = dr.compact_apply(
+        _fn, jnp.asarray(need), packed, caps=(0.125, 0.5),
+        enabled="block", block=block,
+    )
+    want = np.where(need[:, None], np.asarray(_fn(packed)), 0.0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_block_compact_env_knob(monkeypatch):
+    """DXR_COMPACT=block routes through _knobs."""
+    monkeypatch.setenv("DXR_COMPACT", "block")
+    monkeypatch.setenv("DXR_COMPACT_B", "16")
+    rng = np.random.default_rng(7)
+    packed = jnp.asarray(rng.normal(size=(128, 4)).astype(np.float32))
+    need = jnp.asarray(rng.random(128) < 0.1)
+    got = dr.compact_apply(_fn, need, packed)
+    want = np.where(np.asarray(need)[:, None], np.asarray(_fn(packed)), 0.0)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
 def test_compact_apply_all_and_none_needed():
     packed = jnp.arange(32.0, dtype=jnp.float32).reshape(8, 4)
     none = dr.compact_apply(_fn, jnp.zeros(8, bool), packed, caps=(0.5,),
