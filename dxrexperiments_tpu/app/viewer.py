@@ -536,13 +536,125 @@ class ViewerApp:
         self.message = f"resized to {width}x{height}"
 
     def _env_scale(self, f):
-        self.env_strength *= f
+        self._set_env_strength(self.env_strength * f)
+        self.message = f"env strength: {self.env_strength:.2f}"
+
+    def _set_env_strength(self, v: float) -> None:
+        self.env_strength = v
         for p in self.pipelines:
             env = dict(p.scene_data["env"])
             env["strength"] = jnp.asarray(self.env_strength, jnp.float32)
             p.scene_data = dict(p.scene_data, env=env)
         self._dirty()
-        self.message = f"env strength: {self.env_strength:.2f}"
+
+    # -- UI state persistence (the reference persists its imgui panel layout
+    # in vc2015/imgui.ini across sessions; this is the key-param analogue:
+    # every toggle the viewer's "panel" exposes survives a relaunch) -------
+    def ui_state(self) -> dict:
+        pipe0 = self.pipelines[0]
+        return {
+            "active": self.active,
+            "aov": self.aov,
+            "ao_only": self.ao_only,
+            "env_strength": self.env_strength,
+            "debug": int(pipe0.options["debug"]),
+            "cosine": bool(pipe0.options["cosine_hemisphere_sampling"]),
+            "max_iterations": int(
+                getattr(pipe0, "max_iterations", 0) or 0
+            ),
+            "denoise": {
+                "max_kernel_size": int(self.denoiser.params["max_kernel_size"]),
+                "tonemap": bool(self.denoiser.params["tonemap"]),
+                "exposure": float(self.denoiser.params["exposure"]),
+            },
+            "mat0": {
+                "roughness": float(self.mat0.roughness),
+                "reflectivity": float(self.mat0.reflectivity),
+                "albedo": [float(c) for c in self.mat0.albedo],
+            },
+            "lights": {
+                name: {
+                    "intensity": float(lt["intensity"]),
+                    "color": [float(c) for c in np.asarray(lt["color"])],
+                }
+                for name, lt in self.pipeline.scene_data.get(
+                    "lights", {}
+                ).items()
+            },
+        }
+
+    def apply_ui_state(self, state: dict) -> None:
+        """Restore a ui_state() snapshot through the SAME application paths
+        the key handlers use (AOV options, denoiser params, material
+        re-bake, light args), so a restored session renders identically to
+        the one that saved it."""
+        self.active = int(state.get("active", 0)) % len(self.pipelines)
+        self.aov = state.get("aov")
+        self.ao_only = bool(state.get("ao_only", False))
+        self._apply_aov()
+        if "env_strength" in state:
+            self._set_env_strength(float(state["env_strength"]))
+        for p in self.pipelines:
+            p.options["debug"] = jnp.asarray(
+                int(state.get("debug", 0)), jnp.int32
+            )
+            p.options["cosine_hemisphere_sampling"] = jnp.asarray(
+                bool(state.get("cosine", True))
+            )
+            if state.get("max_iterations") and hasattr(p, "max_iterations"):
+                p.max_iterations = int(state["max_iterations"])
+        dn = state.get("denoise", {})
+        if dn:
+            self.denoiser.params["max_kernel_size"] = jnp.asarray(
+                int(dn["max_kernel_size"]), jnp.int32
+            )
+            self.denoiser.params["tonemap"] = jnp.asarray(bool(dn["tonemap"]))
+            self.denoiser.params["exposure"] = jnp.asarray(
+                float(dn["exposure"]), jnp.float32
+            )
+        m0 = state.get("mat0")
+        if m0 and self.scene.materials:
+            alb = tuple(m0["albedo"]) + (
+                () if len(m0["albedo"]) == 4 else (self.mat0.albedo[3],)
+            )
+            self.mat0 = dataclasses.replace(
+                self.mat0,
+                roughness=float(m0["roughness"]),
+                reflectivity=float(m0["reflectivity"]),
+                albedo=alb,
+            )
+            for p in self.pipelines:
+                p.scene_data = rebake_material(p.scene_data, 0, self.mat0)
+        for name, lt_s in state.get("lights", {}).items():
+            for p in self.pipelines:
+                lights = {k: dict(v) for k, v in p.scene_data["lights"].items()}
+                if name not in lights:
+                    continue
+                lights[name]["intensity"] = jnp.asarray(
+                    float(lt_s["intensity"]), jnp.float32
+                )
+                lights[name]["color"] = jnp.asarray(
+                    lt_s["color"], jnp.float32
+                )
+                p.scene_data = dict(p.scene_data, lights=lights)
+        self._dirty()
+        self.message = "restored UI state"
+
+    def save_ui_state(self, path: str) -> None:
+        import json
+
+        with open(path, "w") as f:
+            json.dump(self.ui_state(), f, indent=1)
+
+    def load_ui_state(self, path: str) -> bool:
+        import json
+        import os
+
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            self.apply_ui_state(json.load(f))
+        return True
 
     def _apply_aov(self):
         for p in self.pipelines:
@@ -630,6 +742,27 @@ def main(argv=None) -> int:
         help="enable analog gamepad input (/dev/input/js*; optional "
              "explicit device path)",
     )
+    ap.add_argument(
+        "--ui-state", default=None, metavar="PATH",
+        help="persist viewer params (AOV, denoiser, material/light edits, "
+             "env strength) across sessions — the imgui.ini analogue "
+             "(default ~/.dxrexperiments_tpu/viewer_ui.json)",
+    )
+    ap.add_argument(
+        "--no-ui-state", action="store_true",
+        help="disable UI state persistence",
+    )
+    ap.add_argument(
+        "--auto-checkpoint", default=None, metavar="PATH",
+        help="periodically save the progressive accumulation state, and "
+             "rebuild+restore in-session if a render step dies — the "
+             "device-lost recovery analogue "
+             "(DeviceResources.cpp:447-487, IDeviceNotify)",
+    )
+    ap.add_argument(
+        "--checkpoint-every-sec", type=float, default=30.0,
+        help="auto-checkpoint period in seconds (0 = every frame)",
+    )
     args = ap.parse_args(argv)
 
     if args.platform:
@@ -658,9 +791,25 @@ def main(argv=None) -> int:
         width, height = display.size()
         width, height = min(width, 200), min(height - height % 2, 140)
 
-    app = ViewerApp(args.scene, width, height, accel=args.accel,
-                    animate_instances=args.animate_instances)
-    app.fit_terminal = args.size is None
+    def make_app():
+        a = ViewerApp(args.scene, width, height, accel=args.accel,
+                      animate_instances=args.animate_instances)
+        a.fit_terminal = args.size is None
+        return a
+
+    app = make_app()
+    ui_path = None
+    if not args.no_ui_state:
+        ui_path = args.ui_state or os.path.join(
+            os.path.expanduser("~"), ".dxrexperiments_tpu", "viewer_ui.json"
+        )
+        os.makedirs(os.path.dirname(ui_path) or ".", exist_ok=True)
+        try:
+            if app.load_ui_state(ui_path):
+                print(f"viewer: restored UI state from {ui_path}",
+                      file=sys.stderr)
+        except Exception as e:  # a stale/corrupt file must never block launch
+            print(f"viewer: ignoring UI state ({e})", file=sys.stderr)
     scripted = list(args.script.replace(" ", "")) if args.script else None
 
     use_alt_screen = sys.stdout.isatty()
@@ -668,6 +817,8 @@ def main(argv=None) -> int:
         sys.stdout.write("\x1b[?1049h")  # alternate screen buffer
     sys.stdout.write("\x1b[2J")  # clear
     frames = 0
+    last_ckpt = time.monotonic()
+    recovered_frame = -1
     try:
         with RawKeyboard() as kb:
             while True:
@@ -686,9 +837,42 @@ def main(argv=None) -> int:
                     pad.apply(inp)
                 if quit_requested:
                     break
-                img = app.step(inp)
+                try:
+                    img = app.step(inp)
+                except Exception as e:
+                    # In-session device-lost recovery (IDeviceNotify /
+                    # DeviceResources::HandleDeviceLost analogue,
+                    # /root/reference/src/utils/DeviceResources.cpp:447-487):
+                    # rebuild the pipeline stack, restore the UI params and
+                    # the last auto-checkpointed accumulation, carry on.
+                    # One attempt per frame — a second failure is real.
+                    if args.auto_checkpoint is None or frames == recovered_frame:
+                        raise
+                    print(f"viewer: render step failed ({e}); rebuilding",
+                          file=sys.stderr)
+                    ui_snapshot = app.ui_state()
+                    app = make_app()
+                    app.apply_ui_state(ui_snapshot)
+                    ck = args.auto_checkpoint
+                    ck = ck if ck.endswith(".npz") else ck + ".npz"
+                    if os.path.exists(ck):
+                        for p in app.pipelines:
+                            if hasattr(p, "load_checkpoint"):
+                                p.load_checkpoint(ck)
+                                break
+                    recovered_frame = frames
+                    app.message = "recovered after device loss"
+                    continue
                 display.present(img, app.hud())
                 frames += 1
+                if args.auto_checkpoint is not None and (
+                    time.monotonic() - last_ckpt >= args.checkpoint_every_sec
+                ):
+                    for p in app.pipelines:
+                        if hasattr(p, "save_checkpoint"):
+                            p.save_checkpoint(args.auto_checkpoint)
+                            break
+                    last_ckpt = time.monotonic()
                 if args.max_frames and frames >= args.max_frames:
                     break
     finally:
@@ -696,6 +880,12 @@ def main(argv=None) -> int:
             pad.close()
         if use_alt_screen:
             sys.stdout.write("\x1b[?1049l")  # restore the main screen
+        if ui_path is not None:
+            try:
+                app.save_ui_state(ui_path)
+            except Exception as e:
+                print(f"viewer: could not save UI state ({e})",
+                      file=sys.stderr)
     sys.stdout.write("\n")
     print(f"viewer exited after {frames} frames; {app.stats.title()}")
     return 0
