@@ -34,24 +34,26 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = "round3/fif-continuation"
+SECONDARY_RECORDED_AT = "round5/batch"
 SECONDARY_RECORDED = {
-    "realtime_denoise_1080p_fps": 63.3,
-    "instanced_983k_512_flattened_ms": 627,
-    "instanced_983k_512_two_level_ms": 727,
-    "closest_262k_rays_200k_tris_ms": 30.0,
-    "incoherent_262k_200k_sorted_ms": 393.0,
-    "hdr_env_1080p_spp_per_sec": 6.33,
-    "susanne_cubemap_512_ms_per_sample": 29.2,
-    "susanne_fused_512_ms_per_sample": 8.94,
-    "config2_as_written_512_spp_per_sec": 9.19,
+    "realtime_denoise_1080p_fps": 62.7,
+    "instanced_983k_512_flattened_ms": 592.4,
+    "instanced_983k_512_two_level_ms": 707.9,
+    "closest_262k_rays_200k_tris_ms": 30.0,  # round3; r5 re-run contaminated
+    "incoherent_262k_200k_sorted_ms": 393.0,  # round3; same caveat
+    "hdr_env_1080p_spp_per_sec": 8.51,
+    "susanne_cubemap_512_ms_per_sample": 31.47,
+    "susanne_fused_512_ms_per_sample": 9.06,
+    "config2_as_written_512_spp_per_sec": 10.42,
+    "realtime_cubemap_512_ms_per_frame": 12.0,
+    "config1_light_mc_mrays": 174.13,  # reference's debug==2 MC light pick
 }
 
 
 # Headline measured at the same commit class as the secondaries — emitted
 # (clearly labeled stale) only if the axon tunnel wedges and the watchdog
 # fires; see RESULTS.md for the fresh-run protocol.
-HEADLINE_RECORDED_MRAYS = 163.9
+HEADLINE_RECORDED_MRAYS = 162.3
 
 
 def _watchdog(timeout_s: int) -> None:

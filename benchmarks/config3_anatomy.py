@@ -113,9 +113,13 @@ def main() -> None:
         int(scene["mt_pack"].shape[1])
     )
 
-    def dispatch(cameras):
+    # NOTE: every jit below takes `scene`/`env` as an ARG, mirroring the
+    # production impls (which are @jax.jit with scene as a parameter) —
+    # closing over the 8K HDR quad-packed env bakes ~1 GB of constants
+    # into the compile request and the axon tunnel rejects it (HTTP 413).
+    def dispatch(sc, cameras):
         return fsp._fused_dispatch(
-            scene, options, cameras, W, H, env_kind, INTERPRET,
+            sc, options, cameras, W, H, env_kind, INTERPRET,
             tile_r=tile_r, block_w=block_w, cluster_rows=cluster_rows,
             env_deferred=True,
         )
@@ -123,7 +127,7 @@ def main() -> None:
     # primary dirs shared by all S samples (jitter shifts origins only)
     cam0 = jax.tree.map(lambda x: x[0], stacked_cams)
 
-    def combine(out, inv, mode):
+    def combine(env, out, inv, mode):
         """The _fused_progressive_deferred_impl host part, evaluation-order
         variants. mode in {ship, stacked, block, stacked_block}."""
         block_kw = (
@@ -176,16 +180,16 @@ def main() -> None:
     imgs = {}
     if "full" in stages:
         full_fn = jax.jit(
-            lambda c: fsp._fused_progressive_deferred_impl.__wrapped__(
-                scene, options, c, W, H, env_kind, INTERPRET, tile_r, block_w,
+            lambda sc, c: fsp._fused_progressive_deferred_impl.__wrapped__(
+                sc, options, c, W, H, env_kind, INTERPRET, tile_r, block_w,
                 None, 0, cluster_rows,
             )
         )
         t0 = time.perf_counter()
-        imgs["full"] = full_fn(stacked_cams)
+        imgs["full"] = full_fn(scene, stacked_cams)
         fence(imgs["full"])
         print(f"[compile full] {time.perf_counter() - t0:.1f}s", flush=True)
-        t = best_of(lambda: full_fn(stacked_cams)) / S
+        t = best_of(lambda: full_fn(scene, stacked_cams)) / S
         RESULTS["full_ms_per_sample"] = round(t * 1e3, 2)
         print(f"[full] {t*1e3:7.2f} ms/sample ({1.0/t:5.2f} spp/s)",
               flush=True)
@@ -194,14 +198,14 @@ def main() -> None:
     out_inv = None
     if "kernel" in stages or "resolve" in stages or "micros" in stages \
             or "stacked" in stages or "block" in stages:
-        disp_fn = jax.jit(lambda c: dispatch(c)[0])
+        disp_fn = jax.jit(lambda sc, c: dispatch(sc, c)[0])
         t0 = time.perf_counter()
-        out_dev = disp_fn(stacked_cams)
+        out_dev = disp_fn(scene, stacked_cams)
         fence(out_dev)
         print(f"[compile kernel] {time.perf_counter() - t0:.1f}s", flush=True)
         out_inv = out_dev
     if "kernel" in stages:
-        t = best_of(lambda: disp_fn(stacked_cams)) / S
+        t = best_of(lambda: disp_fn(scene, stacked_cams)) / S
         RESULTS["kernel_ms_per_sample"] = round(t * 1e3, 2)
         print(f"[kernel] {t*1e3:7.2f} ms/sample", flush=True)
 
@@ -213,13 +217,13 @@ def main() -> None:
 
     # ---- stage: resolve variants -------------------------------------------
     def run_combine(mode, key):
-        fn = jax.jit(lambda o: combine(o, inv, mode))
+        fn = jax.jit(lambda e, o: combine(e, o, inv, mode))
         t0 = time.perf_counter()
-        img = fn(out_inv)
+        img = fn(env, out_inv)
         fence(img)
         print(f"[compile {key}] {time.perf_counter() - t0:.1f}s", flush=True)
         imgs[key] = img
-        t = best_of(lambda: fn(out_inv)) / S
+        t = best_of(lambda: fn(env, out_inv)) / S
         RESULTS[f"{key}_ms_per_sample"] = round(t * 1e3, 2)
         print(f"[{key}] {t*1e3:7.2f} ms/sample", flush=True)
 
@@ -268,12 +272,12 @@ def main() -> None:
         )
         wts = jnp.asarray(w_diff)
         we = jax.jit(
-            lambda d, w: dr.weighted_env(
-                env, d, w, env_kind, enabled=False
+            lambda e, d, w: dr.weighted_env(
+                e, d, w, env_kind, enabled=False
             )
         )
-        fence(we(dirs, wts))
-        t = best_of(lambda: we(dirs, wts))
+        fence(we(env, dirs, wts))
+        t = best_of(lambda: we(env, dirs, wts))
         RESULTS["weighted_env_full_ms"] = round(t * 1e3, 2)
         print(f"[micro weighted_env {n} rows] {t*1e3:7.2f} ms", flush=True)
 

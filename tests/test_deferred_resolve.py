@@ -284,4 +284,10 @@ def test_deferred_fused_traverse_compaction_bit_identical(
         monkeypatch.setenv("DXR_COMPACT_METHOD", method)
         np.testing.assert_allclose(run(), base, rtol=3e-6, atol=1e-6,
                                    err_msg=method)
+    # block mode (round 5): tiny blocks so several tiers get exercised at
+    # 32x32
+    monkeypatch.setenv("DXR_COMPACT", "block")
+    monkeypatch.setenv("DXR_COMPACT_B", "64")
+    np.testing.assert_allclose(run(), base, rtol=3e-6, atol=1e-6,
+                               err_msg="block")
     assert base.any()
