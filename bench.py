@@ -39,8 +39,11 @@ SECONDARY_RECORDED = {
     "realtime_denoise_1080p_fps": 62.7,
     "instanced_983k_512_flattened_ms": 592.4,
     "instanced_983k_512_two_level_ms": 707.9,
-    "closest_262k_rays_200k_tris_ms": 30.0,  # round3; r5 re-run contaminated
-    "incoherent_262k_200k_sorted_ms": 393.0,  # round3; same caveat
+    # single-dispatch micros swing with tunnel health (no S-grid to amortize
+    # per-dispatch cost); round-3 recorded 30.0/393, round-5 idle-host
+    # re-runs 37.3-38.9/400.9-401.5 on identical code (RESULTS.md r5 batch-2)
+    "closest_262k_rays_200k_tris_ms": 38.9,
+    "incoherent_262k_200k_sorted_ms": 401.5,
     "hdr_env_1080p_spp_per_sec": 8.51,
     "susanne_cubemap_512_ms_per_sample": 31.47,
     "susanne_fused_512_ms_per_sample": 9.06,

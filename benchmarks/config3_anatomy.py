@@ -52,6 +52,10 @@ W = int(_os.environ.get("C3_W", "1920"))
 H = int(_os.environ.get("C3_H", "1080"))
 S = int(_os.environ.get("C3_S", "8"))
 INTERPRET = _os.environ.get("C3_INTERPRET", "0") == "1"  # CPU smoke test
+BLOCK_B = int(_os.environ.get("C3_BLOCK_B", "1024"))
+BLOCK_CAPS = tuple(
+    float(c) for c in _os.environ.get("C3_BLOCK_CAPS", "0.25,0.5").split(",")
+)
 
 
 def fence(x):
@@ -127,11 +131,15 @@ def main() -> None:
     # primary dirs shared by all S samples (jitter shifts origins only)
     cam0 = jax.tree.map(lambda x: x[0], stacked_cams)
 
-    def combine(env, out, inv, mode):
+    def combine(env, out, inv, mode, block_b=None, caps=None):
         """The _fused_progressive_deferred_impl host part, evaluation-order
         variants. mode in {ship, stacked, block, stacked_block}."""
         block_kw = (
-            {"enabled": "block", "caps": (0.25, 0.5), "block": 1024}
+            {
+                "enabled": "block",
+                "caps": caps or BLOCK_CAPS,
+                "block": block_b or BLOCK_B,
+            }
             if "block" in mode else {"enabled": False}
         )
 
@@ -216,16 +224,28 @@ def main() -> None:
     inv = None
 
     # ---- stage: resolve variants -------------------------------------------
-    def run_combine(mode, key):
-        fn = jax.jit(lambda e, o: combine(e, o, inv, mode))
-        t0 = time.perf_counter()
-        img = fn(env, out_inv)
-        fence(img)
-        print(f"[compile {key}] {time.perf_counter() - t0:.1f}s", flush=True)
-        imgs[key] = img
-        t = best_of(lambda: fn(env, out_inv)) / S
-        RESULTS[f"{key}_ms_per_sample"] = round(t * 1e3, 2)
-        print(f"[{key}] {t*1e3:7.2f} ms/sample", flush=True)
+    def run_combine(mode, key, block_b=None, caps=None):
+        """Each variant is fenced + try/excepted: a compiler failure on one
+        arm (observed: HTTP 500 on the 2S-stacked block-compacted graph)
+        must not abort the remaining arms or the micros."""
+        import traceback
+
+        try:
+            fn = jax.jit(
+                lambda e, o: combine(e, o, inv, mode, block_b, caps)
+            )
+            t0 = time.perf_counter()
+            img = fn(env, out_inv)
+            fence(img)
+            print(f"[compile {key}] {time.perf_counter() - t0:.1f}s",
+                  flush=True)
+            imgs[key] = img
+            t = best_of(lambda: fn(env, out_inv)) / S
+            RESULTS[f"{key}_ms_per_sample"] = round(t * 1e3, 2)
+            print(f"[{key}] {t*1e3:7.2f} ms/sample", flush=True)
+        except Exception:
+            print(f"[{key}] FAILED:", flush=True)
+            traceback.print_exc()
 
     if "resolve" in stages:
         run_combine("ship", "resolve_ship")
@@ -234,6 +254,12 @@ def main() -> None:
     if "block" in stages:
         run_combine("block", "resolve_block")
         run_combine("stacked_block", "resolve_stacked_block")
+    if "blocksweep" in stages:
+        # B x caps sweep of the block-compacted combine: smaller blocks
+        # track a scattered need mask tighter (lower gathered-row count)
+        # at more index/bookkeeping rows — find the knee.
+        for bb in (128, 256, 512, 1024, 2048):
+            run_combine("block", f"resolve_block_b{bb}", block_b=bb)
 
     # parity across combine variants (identical gathered values)
     ref_key = "resolve_ship" if "resolve_ship" in imgs else None
@@ -254,18 +280,20 @@ def main() -> None:
             fsp._unperm(out_inv[7:10], inv)
         )
         need_row = np.any(w_diff != 0.0, axis=1)
-        nb = n // 1024
-        need_blk = np.any(need_row[: nb * 1024].reshape(nb, 1024), axis=1)
-        RESULTS["need_frac_row_diffuse"] = round(float(need_row.mean()), 4)
-        RESULTS["need_frac_block_diffuse"] = round(float(need_blk.mean()), 4)
         w_spec = np.asarray(fsp._unperm(out_inv[13:16], inv))
         nr_s = np.any(w_spec != 0.0, axis=1)
-        nb_s = np.any(nr_s[: nb * 1024].reshape(nb, 1024), axis=1)
+        RESULTS["need_frac_row_diffuse"] = round(float(need_row.mean()), 4)
         RESULTS["need_frac_row_spec"] = round(float(nr_s.mean()), 4)
-        RESULTS["need_frac_block_spec"] = round(float(nb_s.mean()), 4)
         print(f"[need fractions] diffuse row {need_row.mean():.3f} "
-              f"block {need_blk.mean():.3f}; spec row {nr_s.mean():.3f} "
-              f"block {nb_s.mean():.3f}", flush=True)
+              f"spec row {nr_s.mean():.3f}", flush=True)
+        for bb in (128, 256, 512, 1024):
+            nb = n // bb
+            nd = np.any(need_row[: nb * bb].reshape(nb, bb), axis=1).mean()
+            ns = np.any(nr_s[: nb * bb].reshape(nb, bb), axis=1).mean()
+            RESULTS[f"need_frac_b{bb}_diffuse"] = round(float(nd), 4)
+            RESULTS[f"need_frac_b{bb}_spec"] = round(float(ns), 4)
+            print(f"[need B={bb:5d}] diffuse {nd:.3f} spec {ns:.3f}",
+                  flush=True)
 
         dirs = jnp.asarray(
             np.asarray(fsp._unperm(out_inv[4:7], inv), np.float32)

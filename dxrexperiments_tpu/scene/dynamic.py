@@ -36,7 +36,26 @@ def refit_scene_instances(scene: dict, transforms) -> dict:
 
     ctx = scene["tlas_meta"].value["refit_ctx"]
     dyn = tlas_mod.refit_instances_arrays(ctx, transforms)
-    return dict(scene, tlas=dict(scene["tlas"], **dyn))
+    new = dict(scene, tlas=dict(scene["tlas"], **dyn))
+    # Keep the PRIME t_max-seeding table (scene.select_prime_triangles)
+    # world-space-current under animation: re-derive the few selected
+    # triangles from their object-space sources + owning instances. The
+    # SELECTION stays frozen from build (a heuristic, not a correctness
+    # input); only the coordinates must track the transforms.
+    src = scene["tlas_meta"].value.get("prime_src")
+    if src is not None and "prime_v0" in scene:
+        t = jnp.asarray(transforms)[src["inst"]]
+        rot, trn = t[:, :3, :3], t[:, :3, 3]
+        # HIGHEST: a DEFAULT-precision (bf16-MXU) contraction here would put
+        # ~1.5e-3 relative error on the prime coordinates — larger than the
+        # conservative seeding margin in _prime_seed_tmax.
+        hi = functools.partial(
+            jnp.einsum, precision=jax.lax.Precision.HIGHEST
+        )
+        new["prime_v0"] = hi("nij,nj->ni", rot, jnp.asarray(src["v0"])) + trn
+        new["prime_e1"] = hi("nij,nj->ni", rot, jnp.asarray(src["e1"]))
+        new["prime_e2"] = hi("nij,nj->ni", rot, jnp.asarray(src["e2"]))
+    return new
 
 
 def prepare_base(base_scene: dict, num_instances: int) -> dict:

@@ -53,6 +53,34 @@ class Instance:
 BVH_THRESHOLD = 4096  # above this triangle count, build + attach a BVH
 BVH_LEAF_SIZE = 32  # fixed leaf size consumed by the traversal kernel (swept on v5e)
 
+# PRIME triangles: the few scene-dominating triangles (floors, walls) kept
+# as a world-space side table so incoherent bounce traces can pre-seed
+# their t_max against them (trace/integrator._prime_seed_tmax) — a tight
+# far clamp makes the packet kernels' slab unions collapse to the origin
+# cell instead of spanning the whole instance grid. Selection is a
+# heuristic (correctness never depends on which triangles are chosen, only
+# on their world-space coordinates being current — see refit).
+PRIME_MAX = 8
+PRIME_AREA_FRAC = 0.02  # keep triangles with area >= frac * max_extent^2
+
+
+def select_prime_triangles(v0, e1, e2) -> np.ndarray:
+    """Indices of up to PRIME_MAX triangles whose world area is at least
+    PRIME_AREA_FRAC x (scene max extent)^2 — typically floors/walls. Returns
+    an empty index array when nothing qualifies (e.g. triangle soups), which
+    callers treat as "no prime table" (zero overhead)."""
+    if len(v0) == 0:
+        return np.zeros((0,), np.int64)
+    area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+    p1, p2 = v0 + e1, v0 + e2
+    lo = np.minimum(np.minimum(v0.min(0), p1.min(0)), p2.min(0))
+    hi = np.maximum(np.maximum(v0.max(0), p1.max(0)), p2.max(0))
+    ext = float(np.max(hi - lo))
+    if not np.isfinite(ext) or ext <= 0.0:
+        return np.zeros((0,), np.int64)
+    idx = np.argsort(-area, kind="stable")[:PRIME_MAX]
+    return idx[area[idx] >= PRIME_AREA_FRAC * ext * ext]
+
 
 class Scene:
     """Host-side scene graph; ``build()`` lowers to the device pytree."""
@@ -316,6 +344,15 @@ class Scene:
                 # textured-ALBEDO scenes still ride the FT deferred path
                 # through this BVH.
                 tex_autoroute = True
+        # World-space PRIME table for bounce-trace t_max seeding (only
+        # meaningful when a packet-traversal accel is attached below; the
+        # brute megakernel paths ignore it).
+        pidx = select_prime_triangles(v0, e1, e2)
+        if len(pidx) and (want_bvh or accel == "bvh"):
+            scene_dict["prime_v0"] = jnp.asarray(v0[pidx])
+            scene_dict["prime_e1"] = jnp.asarray(e1[pidx])
+            scene_dict["prime_e2"] = jnp.asarray(e2[pidx])
+
         if want_bvh and num_tris > 0:
             from ..accel import bvh as bvh_mod
             from ..ops.traverse_pallas import pack_for_traversal
@@ -460,6 +497,47 @@ class Scene:
             "env": env,
             "num_tris": jnp.asarray(num_tris, jnp.int32),
         }
+        # World-space PRIME table (bounce-trace t_max seeding). Candidates =
+        # each mesh's top-PRIME_MAX object-space-area triangles, expanded
+        # through every instance transform (exact areas for the candidates
+        # only — no full world flatten); selection then runs on the world
+        # candidates. The object-space sources + owning instance ids ride
+        # tlas_meta so refit_scene_instances can re-derive current world
+        # coordinates under animation.
+        cand_obj, cand_inst = [], []
+        for mi, (gv0, ge1, ge2) in enumerate(meshes_geo):
+            top = select_prime_triangles(gv0, ge1, ge2)
+            top = (
+                np.argsort(
+                    -0.5 * np.linalg.norm(np.cross(ge1, ge2), axis=-1),
+                    kind="stable",
+                )[:PRIME_MAX]
+                if len(top) == 0 else top
+            )
+            for ii in np.nonzero(inst_mesh == mi)[0]:
+                cand_obj.append((gv0[top], ge1[top], ge2[top]))
+                cand_inst.append(np.full((len(top),), ii, np.int64))
+        cv0 = np.concatenate([c[0] for c in cand_obj])
+        ce1 = np.concatenate([c[1] for c in cand_obj])
+        ce2 = np.concatenate([c[2] for c in cand_obj])
+        cinst = np.concatenate(cand_inst)
+        rot = transforms[cinst, :3, :3]
+        trn = transforms[cinst, :3, 3]
+        wv0 = np.einsum("nij,nj->ni", rot, cv0) + trn
+        we1 = np.einsum("nij,nj->ni", rot, ce1)
+        we2 = np.einsum("nij,nj->ni", rot, ce2)
+        pidx = select_prime_triangles(wv0, we1, we2)
+        if len(pidx):
+            out["prime_v0"] = jnp.asarray(wv0[pidx].astype(np.float32))
+            out["prime_e1"] = jnp.asarray(we1[pidx].astype(np.float32))
+            out["prime_e2"] = jnp.asarray(we2[pidx].astype(np.float32))
+            out["tlas_meta"].value["prime_src"] = {
+                "v0": cv0[pidx].astype(np.float32),
+                "e1": ce1[pidx].astype(np.float32),
+                "e2": ce2[pidx].astype(np.float32),
+                "inst": cinst[pidx].astype(np.int32),
+            }
+
         from .textures import pack_texture_table
 
         textures = pack_texture_table(materials)

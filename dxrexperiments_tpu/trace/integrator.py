@@ -578,6 +578,60 @@ def _ambient_occlusion(scene, options, position, normal, seed, active, impl):
 # and indirect cut off by MAX_RADIANCE_RAY_DEPTH
 # (ProgressiveRaytracing.hlsl:41-55 via shade() at depth 1).
 # --------------------------------------------------------------------------- #
+def _prime_seed_tmax(scene, origins, directions, t_max):
+    """Clamp per-ray t_max by a conservative pre-test against the scene's
+    PRIME triangles (the few scene-dominating floors/walls selected by
+    scene.select_prime_triangles).
+
+    Mechanism: incoherent bounce packets drag every instance between the
+    origin cell and the far clamp into the TLAS slab union, and each
+    instance in the union re-enters a whole-packet BLAS walk (the
+    instance-union multiplier, RESULTS.md round-4 stage-cut). A downward
+    bounce ray's nearest big occluder is almost always the floor — testing
+    the <=PRIME_MAX big triangles up front (cheap XLA elementwise math,
+    no kernel change) hands the traversal a far clamp of "distance to the
+    floor" instead of RAY_MAX_T, so the walk's tf = min(t_max, best_t)
+    prunes far instances from the first TLAS visit on.
+
+    Correctness: the clamp only ever TIGHTENS t_max to the distance of an
+    actual hit the main traversal will also find, with margins that make
+    the pre-test strictly conservative against f32 evaluation-order
+    differences: hits are accepted only with barycentrics >= PRIME_DELTA
+    inside the triangle and t >= 2x the trace's own t_min, and the clamp
+    is inflated by a relative+absolute margin before use. Borderline rays
+    simply get no seed. Two-level hit parity is gated by
+    tests/test_prime_seed.py. The hierarchy being clamped is the
+    reference's native shape (TopLevelASGenerator.cpp:64-83); the pre-pass
+    has no reference counterpart — it exists to make the two-level walk
+    competitive with flattening on TPU packet kernels."""
+    pv0 = scene["prime_v0"][None, :, :]  # [1, m, 3]
+    pe1 = scene["prime_e1"][None, :, :]
+    pe2 = scene["prime_e2"][None, :, :]
+    o = origins[:, None, :]  # [n, 1, 3]
+    d = directions[:, None, :]
+    pvec = jnp.cross(d, pe2)
+    det = jnp.sum(pe1 * pvec, axis=-1)  # [n, m]
+    safe = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(safe, det, 1.0)
+    tvec = o - pv0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, pe1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(pe2 * qvec, axis=-1) * inv_det
+    delta = 1e-3  # interior margin: accept only robustly-inside hits
+    valid = (
+        safe
+        & (u >= delta)
+        & (v >= delta)
+        & (u + v <= 1.0 - delta)
+        & (t >= 2.0 * RAY_EPSILON)
+        & jnp.isfinite(t)
+    )
+    t_seed = jnp.min(jnp.where(valid, t, jnp.inf), axis=-1)  # [n]
+    clamp = t_seed * 1.001 + 1e-4  # conservative inflation
+    return jnp.where(jnp.isfinite(t_seed), jnp.minimum(t_max, clamp), t_max)
+
+
 def _secondary_radiance(
     scene, options, origins, directions, seeds, active, mode: str, impl: str,
     env_kind: int | None = None,
@@ -590,6 +644,15 @@ def _secondary_radiance(
     # Measured on the 983k-tri instanced scene: a large slice of the
     # secondary dispatch was garbage-lane traversal.
     t_max_eff = jnp.where(active, RAY_MAX_T, 0.0)
+
+    # PRIME t_max seeding (round 5): pre-test the packet against the scene's
+    # few dominating triangles and clamp the far interval to that hit — the
+    # bounce packets' TLAS/BVH slab unions then stay origin-cell-local
+    # instead of spanning the instance grid (see _prime_seed_tmax). Applied
+    # only to this incoherent closest stage; camera-coherent stages have
+    # tight unions already. DXR_PRIME=0 disables (trace-time knob).
+    if "prime_v0" in scene and os.environ.get("DXR_PRIME", "1") == "1":
+        t_max_eff = _prime_seed_tmax(scene, origins, directions, t_max_eff)
 
     # Active-lane compaction (stable partition of actives to the front so
     # trailing all-dead packets die in one iteration) measured NEGATIVE on
