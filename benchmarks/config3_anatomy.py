@@ -257,9 +257,24 @@ def main() -> None:
     if "blocksweep" in stages:
         # B x caps sweep of the block-compacted combine: smaller blocks
         # track a scattered need mask tighter (lower gathered-row count)
-        # at more index/bookkeeping rows — find the knee.
-        for bb in (128, 256, 512, 1024, 2048):
-            run_combine("block", f"resolve_block_b{bb}", block_b=bb)
+        # at more index/bookkeeping rows — find the knee. C3_BLOCK_SWEEP
+        # overrides with "B:caps;B:caps" specs (caps |-separated), e.g.
+        # "128:0.25|0.7;256:0.75" — the first sweep showed diffuse block
+        # need 0.6-0.8 ABOVE the default 0.5 top tier (diffuse fell back
+        # to full width in every arm), so tier choice is the lever.
+        spec = _os.environ.get("C3_BLOCK_SWEEP", "")
+        if spec:
+            for part in spec.split(";"):
+                bs, capcsv = part.split(":")
+                caps = tuple(float(c) for c in capcsv.split("|"))
+                tag = f"b{bs}c" + "_".join(str(c) for c in caps)
+                run_combine(
+                    "block", f"resolve_block_{tag}",
+                    block_b=int(bs), caps=caps,
+                )
+        else:
+            for bb in (128, 256, 512, 1024, 2048):
+                run_combine("block", f"resolve_block_b{bb}", block_b=bb)
 
     # parity across combine variants (identical gathered values)
     ref_key = "resolve_ship" if "resolve_ship" in imgs else None

@@ -72,6 +72,29 @@ def _knobs() -> tuple[bool, tuple[float, ...], str]:
     return mode, caps, method, block
 
 
+BLOCK_DEFAULT_MIN_ROWS = 1_000_000
+BLOCK_DEFAULT_B = 128
+BLOCK_DEFAULT_CAPS = (0.25, 0.7)
+
+
+def default_resolve_kwargs(n_rows: int) -> dict:
+    """Call-site production default for the deferred impls: block-granular
+    compaction pays only at ~1080p row counts (round 5, one process:
+    config-3 resolve 104 -> 83-90 ms/sample at 2.07M rows; NEGATIVE at
+    262k — config-2 97 -> 121, susanne+cubemap 32 -> 36 ms/sample). The
+    top capacity tier must admit the DIFFUSE need fraction (block need
+    0.60 at B=128 on config 3 — a 0.5 top tier silently sent the diffuse
+    resolve down the full-width path). An explicit DXR_COMPACT env var
+    always wins (the A/B knob)."""
+    if "DXR_COMPACT" in os.environ or n_rows < BLOCK_DEFAULT_MIN_ROWS:
+        return {}
+    return {
+        "enabled": "block",
+        "caps": BLOCK_DEFAULT_CAPS,
+        "block": BLOCK_DEFAULT_B,
+    }
+
+
 def _round_cap(n: int, frac: float) -> int:
     """Capacity tier: ceil(n*frac) rounded up to a sublane multiple, <= n
     (no floor beyond that — small test images must exercise the compact

@@ -1519,11 +1519,15 @@ def _ft_progressive_deferred_impl(
     # analytic env kinds (tex-deferred scenes under constant/gradient env)
     # are cheap elementwise math — compacting them would only add cost
     env_gathers = env_kind in (2, 3)
+    # block-compaction default at >=1M rows (see fused_sample_pallas'
+    # deferred impl + dr.default_resolve_kwargs; 512^2 scenes stay
+    # full-width — block mode measured NEGATIVE at 262k rows)
+    blk = dr.default_resolve_kwargs(width * height)
 
     def w_env(dirs, weights):
         """weights * env(dirs), miss-compacted when env is a texture."""
         if env_gathers:
-            return dr.weighted_env(env, dirs, weights, env_kind)
+            return dr.weighted_env(env, dirs, weights, env_kind, **blk)
         from ..scene.envmap import sample_environment
 
         return weights * sample_environment(
@@ -1548,7 +1552,9 @@ def _ft_progressive_deferred_impl(
     hits = [row1_at(s_rows * si, 3) > 0.5 for si in range(s_count)]
     if env_gathers:
         any_miss = ~functools.reduce(jnp.logical_and, hits)
-        e_p = dr.masked_env(env, d_prim.reshape(-1, 3), any_miss, env_kind)
+        e_p = dr.masked_env(
+            env, d_prim.reshape(-1, 3), any_miss, env_kind, **blk
+        )
     else:
         from ..scene.envmap import sample_environment
 
@@ -1572,7 +1578,7 @@ def _ft_progressive_deferred_impl(
             def tex_at(uv_row, mid_row, need):
                 uv = jnp.stack([row1(uv_row), row1(uv_row + 1)], axis=-1)
                 return dr.masked_albedo(
-                    scene["textures"], uv, row1(mid_row), need
+                    scene["textures"], uv, row1(mid_row), need, **blk
                 )
 
             b_c, c_c, d_c = rows3(16), rows3(19), rows3(22)

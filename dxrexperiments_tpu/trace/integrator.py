@@ -646,12 +646,17 @@ def _secondary_radiance(
     t_max_eff = jnp.where(active, RAY_MAX_T, 0.0)
 
     # PRIME t_max seeding (round 5): pre-test the packet against the scene's
-    # few dominating triangles and clamp the far interval to that hit — the
-    # bounce packets' TLAS/BVH slab unions then stay origin-cell-local
-    # instead of spanning the instance grid (see _prime_seed_tmax). Applied
-    # only to this incoherent closest stage; camera-coherent stages have
-    # tight unions already. DXR_PRIME=0 disables (trace-time knob).
-    if "prime_v0" in scene and os.environ.get("DXR_PRIME", "1") == "1":
+    # few dominating triangles and clamp the far interval to that hit (see
+    # _prime_seed_tmax). Measured FLAT on the 983k instanced scene at BOTH
+    # the isolated secondary stage (141.8 vs 141.8 ms flat / 241.5 vs 242.1
+    # two-level) and the full frame (589.3 vs 590.4 / 705.5 vs 706.3), with
+    # bit-exact parity (round5_prime_ab): the fat kernels' far-first pushes
+    # + in-walk best-t clamp already learn the floor distance within a few
+    # visits, so a pre-seeded clamp prunes nothing extra. Default OFF
+    # (opt-in DXR_PRIME=1, zero measured cost) — kept for scenes whose
+    # dominating occluder sits deep in the tree where far-first ordering
+    # finds it late.
+    if "prime_v0" in scene and os.environ.get("DXR_PRIME", "0") == "1":
         t_max_eff = _prime_seed_tmax(scene, origins, directions, t_max_eff)
 
     # Active-lane compaction (stable partition of actives to the front so
@@ -667,11 +672,16 @@ def _secondary_radiance(
         # scene (68 s vs 46 s / 16 spp): argsort+scatter overhead exceeded
         # the union reduction. A GLOBAL octant+morton sort re-measured
         # 2.6x negative on the two-level secondary (round 4: 256 -> 657 ms)
-        # and a block-local octant sort was negative at every tile size —
-        # bounce rays inherit block-origin locality that any reorder
-        # destroys. The lever that DID pay is the smaller SEC_TILE packet
-        # (see its definition). Kept available as an opt-in for scenes
-        # where bounce-ray unions actually shrink (see test_ray_sorting).
+        # and block-local octant binning (group G, key (lane//G)<<3|octant,
+        # preserving origin-cell locality) re-measured with recorded
+        # numbers in round 5 (benchmarks/round5_prime_ab): flat 141.8 ->
+        # 235.4 (G=1024) / 274.0 (G=2048); two-level 241.5 -> 326.4 /
+        # 353.5 — bounce rays inherit block-origin locality that any
+        # reorder destroys, and the direction-coherence gain never covers
+        # the sort+gather+scatter. The lever that DID pay is the smaller
+        # SEC_TILE packet (see its definition). Kept available as an
+        # opt-in for scenes where bounce-ray unions actually shrink (see
+        # test_ray_sorting).
     )
     hit = is_hit & active
     # Env contributes only where an ACTIVE lane MISSED
