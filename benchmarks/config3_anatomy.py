@@ -301,7 +301,7 @@ def main() -> None:
         RESULTS["need_frac_row_spec"] = round(float(nr_s.mean()), 4)
         print(f"[need fractions] diffuse row {need_row.mean():.3f} "
               f"spec row {nr_s.mean():.3f}", flush=True)
-        for bb in (128, 256, 512, 1024):
+        for bb in (16, 32, 64, 128, 256, 512, 1024):
             nb = n // bb
             nd = np.any(need_row[: nb * bb].reshape(nb, bb), axis=1).mean()
             ns = np.any(nr_s[: nb * bb].reshape(nb, bb), axis=1).mean()

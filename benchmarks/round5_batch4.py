@@ -33,11 +33,16 @@ RESULTS: dict[str, float] = {}
 
 def stage_c3sweep2():
     os.environ["C3_BLOCK_SWEEP"] = (
-        "128:0.7;128:0.25|0.7;128:0.85;256:0.75;512:0.85"
+        "128:0.7;128:0.25|0.7;128:0.85;256:0.75;512:0.85;"
+        # smaller blocks track the scattered diffuse-miss mask tighter
+        # (row need 0.158 vs block need 0.60 @B=128); the lower tier
+        # stays small so spec/prim-miss (need_b <= 0.13) ride it while
+        # diffuse takes the top tier
+        "64:0.25|0.65;32:0.2|0.6;16:0.2|0.55"
     )
     import config3_anatomy
 
-    sys.argv = ["config3_anatomy", "kernel,blocksweep"]
+    sys.argv = ["config3_anatomy", "kernel,blocksweep,micros"]
     config3_anatomy.main()
     RESULTS.update({f"c3_{k}": v for k, v in config3_anatomy.RESULTS.items()})
 
@@ -139,16 +144,39 @@ def stage_c2combine():
     )
     print("[c2combine] kernel out ready", flush=True)
 
+    # The production dispatch uses 32x32 pixel blocks at 512^2, so the
+    # combine's _unperm is a STATIC-index gather by inv — reconstruct the
+    # same inv (fused_traverse_pallas._ft_dispatch block-perm logic) so the
+    # mirrored combine pays exactly what the production one does.
+    import numpy as np
+
+    inv = None
+    block_h = tile_r // block_w if block_w else 1
+    if block_w and not (tile_r % block_w or W % block_w or H % block_h):
+        pys, pxs = np.meshgrid(
+            np.arange(H, dtype=np.int64), np.arange(W, dtype=np.int64),
+            indexing="ij",
+        )
+        perm = (
+            (pys * W + pxs)
+            .reshape(H // block_h, block_h, W // block_w, block_w)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1)
+        )
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(W * H, dtype=np.int64)
+        inv = inv.astype(np.int32)
+
     def combine(sc, o, c0):
         """Mirror of _ft_progressive_deferred_impl's tex combine
         (fused_traverse_pallas.py) on precomputed out rows."""
         env = sc["env"]
 
         def rows3_at(base, r0):
-            return ftp._unperm(o[base + r0: base + r0 + 3], None)
+            return ftp._unperm(o[base + r0: base + r0 + 3], inv)
 
         def row1_at(base, r0):
-            return ftp._unperm(o[base + r0: base + r0 + 1], None)[:, 0]
+            return ftp._unperm(o[base + r0: base + r0 + 1], inv)[:, 0]
 
         _, d_prim = primary_ray_grid(c0, W, H, 30.0)
         hits = [row1_at(s_rows * si, 3) > 0.5 for si in range(S)]
@@ -226,6 +254,26 @@ def stage_c2combine():
         best = min(best, time.perf_counter() - t0)
     RESULTS["c2_kernel_ms_per_sample"] = round(best / S * 1e3, 2)
     print(f"[c2 kernel] {best/S*1e3:7.2f} ms/sample", flush=True)
+
+    # split pipeline: kernel and combine as TWO chained jit programs (out
+    # materialized in HBM between them) — the practical alternative if the
+    # single-program composition is where the residual lives
+    split_img = fn(scene, disp(scene, stacked), cam0)
+    ab.fence(split_img)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        ab.fence(fn(scene, disp(scene, stacked), cam0))
+        best = min(best, time.perf_counter() - t0)
+    RESULTS["c2_split_ms_per_sample"] = round(best / S * 1e3, 2)
+    print(f"[c2 split kernel+combine] {best/S*1e3:7.2f} ms/sample",
+          flush=True)
+
+    import numpy as np
+
+    d = np.abs(np.asarray(split_img) - np.asarray(full(scene, stacked)))
+    RESULTS["c2_split_parity_max_abs"] = float(d.max())
+    print(f"[c2 split parity vs full] max_abs {d.max():.2e}", flush=True)
 
 
 def main() -> None:
