@@ -34,7 +34,7 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = "round5/batch (hdr_env: batch4 c3prod, production block-compacted resolve)"
+SECONDARY_RECORDED_AT = "round5/batch (hdr_env: batch5 c3prod2, tuned block-compacted resolve B=16 caps .05/.6)"
 SECONDARY_RECORDED = {
     "realtime_denoise_1080p_fps": 62.7,
     "instanced_983k_512_flattened_ms": 592.4,
@@ -44,7 +44,7 @@ SECONDARY_RECORDED = {
     # re-runs 37.3-38.9/400.9-401.5 on identical code (RESULTS.md r5 batch-2)
     "closest_262k_rays_200k_tris_ms": 38.9,
     "incoherent_262k_200k_sorted_ms": 401.5,
-    "hdr_env_1080p_spp_per_sec": 13.91,
+    "hdr_env_1080p_spp_per_sec": 15.69,
     "susanne_cubemap_512_ms_per_sample": 31.47,
     "susanne_fused_512_ms_per_sample": 9.06,
     "config2_as_written_512_spp_per_sec": 10.42,

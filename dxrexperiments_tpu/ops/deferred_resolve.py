@@ -73,18 +73,22 @@ def _knobs() -> tuple[bool, tuple[float, ...], str]:
 
 
 BLOCK_DEFAULT_MIN_ROWS = 1_000_000
-BLOCK_DEFAULT_B = 128
-BLOCK_DEFAULT_CAPS = (0.25, 0.7)
+BLOCK_DEFAULT_B = 16
+BLOCK_DEFAULT_CAPS = (0.05, 0.6)
 
 
 def default_resolve_kwargs(n_rows: int) -> dict:
     """Call-site production default for the deferred impls: block-granular
     compaction pays only at ~1080p row counts (round 5, one process:
-    config-3 resolve 104 -> 83-90 ms/sample at 2.07M rows; NEGATIVE at
-    262k — config-2 97 -> 121, susanne+cubemap 32 -> 36 ms/sample). The
-    top capacity tier must admit the DIFFUSE need fraction (block need
-    0.60 at B=128 on config 3 — a 0.5 top tier silently sent the diffuse
-    resolve down the full-width path). An explicit DXR_COMPACT env var
+    config-3 production frame 119.0 -> 63.7 ms/sample at 2.07M rows;
+    NEGATIVE at 262k even with tiny tiers — config-2 98 -> 121,
+    susanne+cubemap 33 -> 34 ms/sample, round5_batch5). Tier sizing
+    (batch-4/5 sweeps): the top tier must admit the DIFFUSE block-need
+    (~0.53, plateaus below B=32 — scattered bounce misses) with margin
+    (a 0.55 top tier measured 67 vs 51 ms when per-sample masks crossed
+    it); the LOWER tier is for the sparse terms (spec ~0.03, prim-miss
+    ~0) — 0.05 keeps 1.5x margin, and a missed tier only falls through
+    to the next, never breaks parity. An explicit DXR_COMPACT env var
     always wins (the A/B knob)."""
     if "DXR_COMPACT" in os.environ or n_rows < BLOCK_DEFAULT_MIN_ROWS:
         return {}
