@@ -34,7 +34,10 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = "round5/batch (hdr_env: batch5 c3prod2, tuned block-compacted resolve B=16 caps .05/.6)"
+SECONDARY_RECORDED_AT = (
+    "round5/batch (hdr_env: batch5 tuned block tiers; config2 + "
+    "susanne_cubemap: batch6 wide-unperm combines)"
+)
 SECONDARY_RECORDED = {
     "realtime_denoise_1080p_fps": 62.7,
     "instanced_983k_512_flattened_ms": 592.4,
@@ -45,9 +48,9 @@ SECONDARY_RECORDED = {
     "closest_262k_rays_200k_tris_ms": 38.9,
     "incoherent_262k_200k_sorted_ms": 401.5,
     "hdr_env_1080p_spp_per_sec": 15.69,
-    "susanne_cubemap_512_ms_per_sample": 31.47,
+    "susanne_cubemap_512_ms_per_sample": 13.48,
     "susanne_fused_512_ms_per_sample": 9.06,
-    "config2_as_written_512_spp_per_sec": 10.42,
+    "config2_as_written_512_spp_per_sec": 15.70,
     "realtime_cubemap_512_ms_per_frame": 12.0,
     "config1_light_mc_mrays": 174.13,  # reference's debug==2 MC light pick
 }

@@ -241,6 +241,29 @@ def _block_compact_apply(fn, need, packed, out_dim, caps, block, full):
     return build(cap_sizes)(None)
 
 
+def weighted_env_packed(
+    env: dict,
+    packed: jnp.ndarray,
+    env_kind: int,
+    **kwargs,
+) -> jnp.ndarray:
+    """weighted_env on pre-packed [n, 6] rows (dirs cols 0:3, weights cols
+    3:6). The deferred kernels emit dirs and weights on ADJACENT out rows,
+    so a wide-unpermuted out block hands this a contiguous column slice —
+    no concatenate copy (the concat costs a full [n, 6] HBM round trip at
+    2M rows; round-5 wide-unperm refactor)."""
+    from ..scene.envmap import sample_environment
+    from .fused_traverse_pallas import _safe_dirs
+
+    def fn(rows):
+        return rows[:, 3:6] * sample_environment(
+            env, _safe_dirs(rows[:, 0:3]), static_kind=env_kind
+        )
+
+    need = jnp.any(packed[:, 3:6] != 0.0, axis=-1)
+    return compact_apply(fn, need, packed, **kwargs)
+
+
 def weighted_env(
     env: dict,
     dirs: jnp.ndarray,
@@ -252,16 +275,9 @@ def weighted_env(
     compacted over the rows where any weight channel is nonzero — the
     deferred-env combine term (env contributes only on miss; the kernel
     writes zero weights everywhere else)."""
-    from ..scene.envmap import sample_environment
-    from .fused_traverse_pallas import _safe_dirs
-
-    def fn(rows):
-        return rows[:, 3:6] * sample_environment(
-            env, _safe_dirs(rows[:, 0:3]), static_kind=env_kind
-        )
-
-    need = jnp.any(weights != 0.0, axis=-1)
-    return compact_apply(fn, need, jnp.concatenate([dirs, weights], axis=1), **kwargs)
+    return weighted_env_packed(
+        env, jnp.concatenate([dirs, weights], axis=1), env_kind, **kwargs
+    )
 
 
 def masked_env(
@@ -288,6 +304,25 @@ def masked_env(
     return compact_apply(fn, need, dirs, **kwargs)
 
 
+def masked_albedo_packed(
+    textures: dict,
+    packed: jnp.ndarray,
+    need: jnp.ndarray,
+    **kwargs,
+) -> jnp.ndarray:
+    """masked_albedo on pre-packed [n, 3] rows (uv cols 0:2, material id
+    col 2 as float) — the TEX kernels emit uv and mid on adjacent out
+    rows, so a wide-unpermuted out block slices straight into this."""
+    from ..scene.textures import sample_albedo
+
+    def fn(rows):
+        return sample_albedo(
+            textures, rows[:, 2].astype(jnp.int32), rows[:, 0:2]
+        )
+
+    return compact_apply(fn, need, packed, **kwargs)
+
+
 def masked_albedo(
     textures: dict,
     uv: jnp.ndarray,
@@ -300,12 +335,5 @@ def masked_albedo(
     sample_albedo returns 1.0 for untextured materials — preserved on
     needed rows; non-needed rows become 0 instead of 1, which is
     equivalent under the zero coefficients."""
-    from ..scene.textures import sample_albedo
-
-    def fn(rows):
-        return sample_albedo(
-            textures, rows[:, 2].astype(jnp.int32), rows[:, 0:2]
-        )
-
     packed = jnp.concatenate([uv, mid.astype(jnp.float32)[:, None]], axis=1)
-    return compact_apply(fn, need, packed, **kwargs)
+    return masked_albedo_packed(textures, packed, need, **kwargs)

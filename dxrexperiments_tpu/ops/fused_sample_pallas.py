@@ -1386,11 +1386,36 @@ def _fused_progressive_deferred_impl(
     s_count = int(cameras["frame_count"].shape[0])
     env = scene["env"]
 
-    def rows3(si, r0):
-        return _unperm(out[16 * si + r0 : 16 * si + r0 + 3], inv)  # [n, 3]
+    # Wide unperm (round 5): ONE [16S, n] -> [n, 16S] unperm for the whole
+    # out block instead of ~6 small [3, n] transposes per sample, and the
+    # weighted_env inputs become CONTIGUOUS column slices (dirs rows 4-6 /
+    # 10-12 sit right before their weight rows 7-9 / 13-15), skipping the
+    # concatenate copy too. Values are bit-identical (same gathered rows,
+    # same arithmetic order); DXR_WIDE_UNPERM=0 restores the per-row path
+    # for A/B.
+    wide_unperm = os.environ.get("DXR_WIDE_UNPERM", "1") != "0"
+    if wide_unperm:
+        wideT = _unperm(out[: 16 * s_count], inv)  # [n, 16S]
 
-    def row1(si, r0):
-        return _unperm(out[16 * si + r0 : 16 * si + r0 + 1], inv)[:, 0]
+        def rows3(si, r0):
+            return wideT[:, 16 * si + r0 : 16 * si + r0 + 3]
+
+        def row1(si, r0):
+            return wideT[:, 16 * si + r0]
+
+        def packed6(si, r0):
+            return wideT[:, 16 * si + r0 : 16 * si + r0 + 6]
+    else:
+        def rows3(si, r0):
+            return _unperm(out[16 * si + r0 : 16 * si + r0 + 3], inv)
+
+        def row1(si, r0):
+            return _unperm(out[16 * si + r0 : 16 * si + r0 + 1], inv)[:, 0]
+
+        def packed6(si, r0):
+            return jnp.concatenate(
+                [rows3(si, r0), rows3(si, r0 + 3)], axis=1
+            )
 
     # Primary dirs via primary_ray_grid — bit-identical to the kernel's
     # raygen. Jitter only shifts the ray ORIGIN (pack_cameras), so the
@@ -1415,10 +1440,8 @@ def _fused_progressive_deferred_impl(
         part = (
             rows3(si, 0)
             + jnp.where(hits[si][:, None], 0.0, e_p)
-            + dr.weighted_env(env, rows3(si, 4), rows3(si, 7), env_kind, **blk)
-            + dr.weighted_env(
-                env, rows3(si, 10), rows3(si, 13), env_kind, **blk
-            )
+            + dr.weighted_env_packed(env, packed6(si, 4), env_kind, **blk)
+            + dr.weighted_env_packed(env, packed6(si, 10), env_kind, **blk)
         )
         total = part if total is None else total + part
     return total.reshape(height, width, 3)

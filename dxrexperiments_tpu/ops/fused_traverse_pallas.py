@@ -1524,21 +1524,45 @@ def _ft_progressive_deferred_impl(
     # full-width — block mode measured NEGATIVE at 262k rows)
     blk = dr.default_resolve_kwargs(width * height)
 
-    def w_env(dirs, weights):
-        """weights * env(dirs), miss-compacted when env is a texture."""
+    def w_env(packed):
+        """packed[:, 3:6] * env(packed[:, 0:3]) on [n, 6] dirs+weights
+        rows, miss-compacted when env is a texture."""
         if env_gathers:
-            return dr.weighted_env(env, dirs, weights, env_kind, **blk)
+            return dr.weighted_env_packed(env, packed, env_kind, **blk)
         from ..scene.envmap import sample_environment
 
-        return weights * sample_environment(
-            env, _safe_dirs(dirs), static_kind=env_kind
+        return packed[:, 3:6] * sample_environment(
+            env, _safe_dirs(packed[:, 0:3]), static_kind=env_kind
         )
 
-    def rows3_at(base, r0):
-        return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
+    # Wide unperm (round 5): ONE [s_rows*S, n] -> [n, s_rows*S] unperm
+    # (a single static-index gather when the 32x32 block permutation is
+    # active — gather time is sub-linear in row width) instead of ~18
+    # per-row unperm gathers per sample; env dirs+weights (rows 4-9 /
+    # 10-15) and uv+mid (25-27 / 28-30 / 31-33) become contiguous column
+    # slices, skipping the concatenate/stack copies. Bit-identical;
+    # DXR_WIDE_UNPERM=0 restores the per-row path for A/B.
+    wide_unperm = os.environ.get("DXR_WIDE_UNPERM", "1") != "0"
+    if wide_unperm:
+        wideT = _unperm(out[: s_rows * s_count], inv)  # [n, s_rows*S]
 
-    def row1_at(base, r0):
-        return _unperm(out[base + r0 : base + r0 + 1], inv)[:, 0]
+        def rows3_at(base, r0):
+            return wideT[:, base + r0 : base + r0 + 3]
+
+        def row1_at(base, r0):
+            return wideT[:, base + r0]
+
+        def packed_at(base, r0, k):
+            return wideT[:, base + r0 : base + r0 + k]
+    else:
+        def rows3_at(base, r0):
+            return _unperm(out[base + r0 : base + r0 + 3], inv)  # [n, 3]
+
+        def row1_at(base, r0):
+            return _unperm(out[base + r0 : base + r0 + 1], inv)[:, 0]
+
+        def packed_at(base, r0, k):
+            return _unperm(out[base + r0 : base + r0 + k], inv)
 
     # Primary dirs via primary_ray_grid — bit-identical to the jnp oracle's
     # raygen, so miss-lane env matches the wavefront path exactly. Jitter
@@ -1571,22 +1595,23 @@ def _ft_progressive_deferred_impl(
         rows3 = functools.partial(rows3_at, base)
         row1 = functools.partial(row1_at, base)
         hit = hits[si]
-        w_d, w_s = rows3(7), rows3(13)
-        e_d_term = w_env(rows3(4), w_d)  # = w_d * env(d_diffuse)
-        e_s_term = w_env(rows3(10), w_s)
+        e_d_term = w_env(packed_at(base, 4, 6))  # = w_diffuse * env(d_diffuse)
+        e_s_term = w_env(packed_at(base, 10, 6))
         if tex:
-            def tex_at(uv_row, mid_row, need):
-                uv = jnp.stack([row1(uv_row), row1(uv_row + 1)], axis=-1)
-                return dr.masked_albedo(
-                    scene["textures"], uv, row1(mid_row), need, **blk
+            def tex_at(uv_row, need):
+                # uv rows uv_row, uv_row+1 and the material-id row
+                # uv_row+2 are adjacent -> one packed [n, 3] slice
+                return dr.masked_albedo_packed(
+                    scene["textures"], packed_at(base, uv_row, 3), need,
+                    **blk,
                 )
 
             b_c, c_c, d_c = rows3(16), rows3(19), rows3(22)
             # tex_p multiplies B, C and the diffuse-env term; rows where
             # all three coefficients are zero never show it
-            tex_p = tex_at(25, 27, nz(b_c) | nz(c_c) | nz(e_d_term))
-            tex_d = tex_at(28, 30, nz(c_c))
-            tex_s = tex_at(31, 33, nz(d_c))
+            tex_p = tex_at(25, nz(b_c) | nz(c_c) | nz(e_d_term))
+            tex_d = tex_at(28, nz(c_c))
+            tex_s = tex_at(31, nz(d_c))
             part = (
                 rows3(0)  # A
                 + tex_p * b_c  # B
