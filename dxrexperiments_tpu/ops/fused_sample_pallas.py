@@ -1509,9 +1509,21 @@ def _fused_realtime_outputs_impl(
     )
     rows = out.reshape(s, 24 if deferred else 16, n)
 
-    def unperm_s(r0, k):
-        t = jnp.swapaxes(rows[:, r0 : r0 + k, :], 1, 2)  # [s, n, k]
-        return t if inv is None else t[:, jnp.asarray(inv)]
+    # ONE wide unperm for all AOV rows (round 5, see the progressive
+    # deferred impls): the per-group path pays a static-index gather per
+    # AOV group when the block permutation is active. DXR_WIDE_UNPERM=0
+    # restores the per-group path for A/B; bit-identical either way.
+    if os.environ.get("DXR_WIDE_UNPERM", "1") != "0":
+        wavT = jnp.swapaxes(rows, 1, 2)  # [s, n, R]
+        if inv is not None:
+            wavT = wavT[:, jnp.asarray(inv)]
+
+        def unperm_s(r0, k):
+            return wavT[:, :, r0 : r0 + k]
+    else:
+        def unperm_s(r0, k):
+            t = jnp.swapaxes(rows[:, r0 : r0 + k, :], 1, 2)  # [s, n, k]
+            return t if inv is None else t[:, jnp.asarray(inv)]
 
     def img3(r0):
         return unperm_s(r0, 3).reshape(s, height, width, 3)
@@ -1563,10 +1575,11 @@ def _fused_realtime_outputs_impl(
         ~hit_rows.reshape(s * n),
         env_kind,
     ).reshape(s, height, width, 3)
-    es_term = dr.weighted_env(
+    # spec dirs (rows 11-13) and weights (14-16) are adjacent -> one
+    # packed [s*n, 6] slice, no concat copy
+    es_term = dr.weighted_env_packed(
         env,
-        unperm_s(11, 3).reshape(s * n, 3),
-        unperm_s(14, 3).reshape(s * n, 3),
+        unperm_s(11, 6).reshape(s * n, 6),
         env_kind,
     ).reshape(s, height, width, 3)
     direct = jnp.where(hit, img3(0), e_p)

@@ -1684,10 +1684,21 @@ def _ft_realtime_outputs_impl(
         env_deferred=deferred,
     )
 
-    def img3(r0):
-        return _unperm(out[r0 : r0 + 3], inv).reshape(height, width, 3)
+    # ONE wide unperm for all AOV rows (round 5, see
+    # _ft_progressive_deferred_impl); DXR_WIDE_UNPERM=0 = per-group A/B.
+    if os.environ.get("DXR_WIDE_UNPERM", "1") != "0":
+        rtT = _unperm(out[: 17 if deferred else 13], inv)  # [n, R]
 
-    rough = _unperm(out[9:10], inv).reshape(height, width)
+        def _rows(r0, k):
+            return rtT[:, r0 : r0 + k]
+    else:
+        def _rows(r0, k):
+            return _unperm(out[r0 : r0 + k], inv)
+
+    def img3(r0):
+        return _rows(r0, 3).reshape(height, width, 3)
+
+    rough = _rows(9, 1).reshape(height, width)
     if not deferred:
         direct = img3(0)
         ispec = img3(3)
@@ -1713,7 +1724,7 @@ def _ft_realtime_outputs_impl(
     from . import deferred_resolve as dr
 
     env = scene["env"]
-    hit_rows = _unperm(out[10:11], inv)[:, 0] > 0.5
+    hit_rows = _rows(10, 1)[:, 0] > 0.5
     hit = hit_rows.reshape(height, width, 1)
 
     # jitter only shifts ray ORIGINS (see _ft_progressive_deferred_impl),
@@ -1724,8 +1735,9 @@ def _ft_realtime_outputs_impl(
     e_p = dr.masked_env(
         env, pdirs.reshape(-1, 3), ~hit_rows, env_kind
     ).reshape(height, width, 3)
-    es_term = dr.weighted_env(
-        env, _unperm(out[11:14], inv), _unperm(out[14:17], inv), env_kind
+    # spec dirs (rows 11-13) + weights (14-16) -> one packed [n, 6] slice
+    es_term = dr.weighted_env_packed(
+        env, _rows(11, 6), env_kind
     ).reshape(height, width, 3)
     direct = jnp.where(hit, img3(0), e_p)
     ispec = img3(3) + es_term
