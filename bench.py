@@ -34,32 +34,29 @@ BASELINE_MRAYS = 500.0
 
 # Secondary BASELINE-config numbers recorded at a specific commit (see
 # RESULTS.md for protocols); update BOTH when re-measuring.
-SECONDARY_RECORDED_AT = (
-    "round5/batch (hdr_env: batch5 tuned block tiers; config2 + "
-    "susanne_cubemap: batch6 wide-unperm combines)"
-)
+SECONDARY_RECORDED_AT = "round5/final (one process, RESULTS.md r5 final section)"
 SECONDARY_RECORDED = {
-    "realtime_denoise_1080p_fps": 62.7,
-    "instanced_983k_512_flattened_ms": 592.4,
-    "instanced_983k_512_two_level_ms": 707.9,
+    "realtime_denoise_1080p_fps": 65.2,
+    "instanced_983k_512_flattened_ms": 596.6,
+    "instanced_983k_512_two_level_ms": 707.6,
     # single-dispatch micros swing with tunnel health (no S-grid to amortize
-    # per-dispatch cost); round-3 recorded 30.0/393, round-5 idle-host
-    # re-runs 37.3-38.9/400.9-401.5 on identical code (RESULTS.md r5 batch-2)
-    "closest_262k_rays_200k_tris_ms": 38.9,
-    "incoherent_262k_200k_sorted_ms": 401.5,
-    "hdr_env_1080p_spp_per_sec": 15.69,
-    "susanne_cubemap_512_ms_per_sample": 13.48,
-    "susanne_fused_512_ms_per_sample": 9.06,
-    "config2_as_written_512_spp_per_sec": 15.70,
-    "realtime_cubemap_512_ms_per_frame": 12.0,
-    "config1_light_mc_mrays": 174.13,  # reference's debug==2 MC light pick
+    # per-dispatch cost); round-3 recorded 30.0/393, round-5 re-runs
+    # 37.3-38.9/399.7-401.5 on identical traversal code (RESULTS.md r5)
+    "closest_262k_rays_200k_tris_ms": 37.3,
+    "incoherent_262k_200k_sorted_ms": 399.7,
+    "hdr_env_1080p_spp_per_sec": 16.20,
+    "susanne_cubemap_512_ms_per_sample": 12.43,
+    "susanne_fused_512_ms_per_sample": 9.07,
+    "config2_as_written_512_spp_per_sec": 16.20,
+    "realtime_cubemap_512_ms_per_frame": 11.08,
+    "config1_light_mc_mrays": 174.53,  # reference's debug==2 MC light pick
 }
 
 
 # Headline measured at the same commit class as the secondaries — emitted
 # (clearly labeled stale) only if the axon tunnel wedges and the watchdog
 # fires; see RESULTS.md for the fresh-run protocol.
-HEADLINE_RECORDED_MRAYS = 162.3
+HEADLINE_RECORDED_MRAYS = 165.2
 
 
 def _watchdog(timeout_s: int) -> None:
