@@ -291,3 +291,84 @@ def test_deferred_fused_traverse_compaction_bit_identical(
     np.testing.assert_allclose(run(), base, rtol=3e-6, atol=1e-6,
                                err_msg="block")
     assert base.any()
+
+def test_packed_wrappers_match_unpacked():
+    """weighted_env_packed / masked_albedo_packed (round 5): the wide-
+    unperm combines hand the resolvers CONTIGUOUS column slices of one
+    wide-unpermuted out block; values must equal the unpacked wrappers
+    fed separate dirs/weights (uv/mid) arrays."""
+    from dxrexperiments_tpu.scene import envmap
+    from dxrexperiments_tpu.scene.materials import Material
+    from dxrexperiments_tpu.scene.textures import (
+        checker_texture, pack_texture_table,
+    )
+
+    rng = np.random.default_rng(7)
+    env = envmap.latlong_env(rng.random((8, 16, 3)).astype(np.float32))
+    kind = int(env["kind"])
+    n = 256
+    # a wider "out block" whose columns 2:8 are dirs+weights, 9:12 uv+mid
+    wide = rng.normal(size=(n, 12)).astype(np.float32)
+    wide[:, 2:5] /= np.linalg.norm(wide[:, 2:5], axis=1, keepdims=True)
+    wide[:, 5:8] = np.where(
+        rng.random((n, 1)) < 0.2, rng.random((n, 3)), 0.0
+    ).astype(np.float32)
+    wide[:, 9:11] = rng.random((n, 2)).astype(np.float32)
+    wide[:, 11] = rng.integers(0, 2, n).astype(np.float32)
+    wide = jnp.asarray(wide)
+
+    a = dr.weighted_env_packed(env, wide[:, 2:8], kind, enabled=False)
+    b = dr.weighted_env(env, wide[:, 2:5], wide[:, 5:8], kind,
+                        enabled=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    table = pack_texture_table([
+        Material(),
+        Material(albedo_texture=checker_texture(4, size=16)),
+    ])
+    need = jnp.asarray(np.asarray(rng.random(n)) < 0.3)
+    c = dr.masked_albedo_packed(table, wide[:, 9:12], need, enabled=False)
+    d = dr.masked_albedo(table, wide[:, 9:11], wide[:, 11], need,
+                         enabled=False)
+    np.testing.assert_array_equal(np.asarray(c), np.asarray(d))
+
+
+def test_wide_unperm_knob_bit_exact(monkeypatch):
+    """DXR_WIDE_UNPERM=1 (one wide unperm + packed column slices, the
+    shipped default) vs 0 (per-row-group unperm): bit-identical images
+    through the FT TEX-deferred combine (32x32-block permutation active
+    at this size via the default FT knobs)."""
+    from dxrexperiments_tpu.app.headless import build_scene
+    from dxrexperiments_tpu.core.camera import camera_params
+    from dxrexperiments_tpu.ops import fused_traverse_pallas as ftp
+    from dxrexperiments_tpu.scene import envmap
+    from dxrexperiments_tpu.trace.integrator import default_options
+
+    w = h = 32
+    sc, cam = build_scene("cornell-tex")
+    rng = np.random.default_rng(2)
+    sc.environment = envmap.latlong_env(
+        rng.random((8, 16, 3)).astype(np.float32)
+    )
+    cam.set_aspect(w, h)
+    sd = sc.build(accel="bvh")
+    cams = {
+        k: v[None]
+        for k, v in camera_params(cam, frame_count=0, accum_count=0).items()
+    }
+    kind = int(sd["env"]["kind"])
+
+    def run():
+        ftp._ft_progressive_deferred_impl.clear_cache()
+        return np.asarray(
+            ftp.fused_traverse_progressive_sum(
+                sd, default_options(), cams, w, h, kind, interpret=True
+            )
+        )
+
+    monkeypatch.setenv("DXR_WIDE_UNPERM", "1")
+    wide = run()
+    monkeypatch.setenv("DXR_WIDE_UNPERM", "0")
+    perrow = run()
+    np.testing.assert_array_equal(wide, perrow)
+    assert wide.any()
