@@ -73,7 +73,10 @@ def _knobs() -> tuple[bool, tuple[float, ...], str]:
 
 
 BLOCK_DEFAULT_MIN_ROWS = 1_000_000
-BLOCK_DEFAULT_B = 16
+# B=32 vs 16 production A/B: 62.52 vs 63.48 ms/sample on config 3, parity
+# 0.0 (round5_batch8, one process) — matches the batch-5 resolve micro
+# (49.45 vs 50.79: half the re-expansion/index rows at the same block need)
+BLOCK_DEFAULT_B = 32
 BLOCK_DEFAULT_CAPS = (0.05, 0.6)
 
 
